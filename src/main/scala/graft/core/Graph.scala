@@ -1,0 +1,184 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Orientation of a relationship projection.
+  *
+  * Mirrors the reference's `Orientation` enum
+  * (reference: core/src/main/java/org/neo4j/gds/Orientation.java:31-33):
+  * NATURAL keeps edges as loaded, REVERSE swaps source/target, UNDIRECTED
+  * materializes both directions (the reference stores undirected edges twice,
+  * doc/asciidoc/common-usage/memory-estimation.adoc:17).
+  */
+sealed trait Orientation
+object Orientation {
+  case object Natural    extends Orientation
+  case object Reverse    extends Orientation
+  case object Undirected extends Orientation
+}
+
+/** Parallel-edge aggregation applied at graph-creation time.
+  *
+  * Mirrors the reference's `Aggregation` enum
+  * (reference: core/src/main/java/org/neo4j/gds/core/Aggregation.java:31-146).
+  * NONE keeps parallel edges (multi-graph); SINGLE keeps an arbitrary-but-
+  * deterministic one (we pick min weight for determinism under parallelism);
+  * SUM/MIN/MAX/COUNT aggregate the weight column.
+  */
+sealed trait EdgeAggregation
+object EdgeAggregation {
+  case object None   extends EdgeAggregation
+  case object Single extends EdgeAggregation
+  case object Sum    extends EdgeAggregation
+  case object Min    extends EdgeAggregation
+  case object Max    extends EdgeAggregation
+  case object Count  extends EdgeAggregation
+}
+
+/** A projected property graph: a `vertices` DataFrame (`id: LONG` + property
+  * columns) and an `edges` DataFrame (`src: LONG, dst: LONG[, weight: DOUBLE]`).
+  *
+  * This is the Spark-native analogue of the reference's in-memory
+  * `GraphStore`/`Graph` pair (reference:
+  * core/src/main/java/org/neo4j/gds/api/GraphStore.java:43-183,
+  * core/src/main/java/org/neo4j/gds/api/Graph.java:27-75): instead of an
+  * IdMap + CSR we keep original 64-bit ids end-to-end and express label/type
+  * filtering and orientation as pure Dataset transformations, letting
+  * Catalyst push filters/prune columns. Node properties are simply columns on
+  * `vertices` (the reference stores them as columnar arrays,
+  * core/src/main/java/org/neo4j/gds/api/nodeproperties/ValueType.java:29-262).
+  */
+final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
+
+  /** Edge view under the given orientation. UNDIRECTED doubles each edge. */
+  def orientedEdges(orientation: Orientation): DataFrame = orientation match {
+    case Orientation.Natural => edges
+    case Orientation.Reverse =>
+      edges.withColumnRenamed("src", "__t")
+        .withColumnRenamed("dst", "src").withColumnRenamed("__t", "dst")
+    case Orientation.Undirected =>
+      val rev = edges.withColumnRenamed("src", "__t")
+        .withColumnRenamed("dst", "src").withColumnRenamed("__t", "dst")
+      edges.unionByName(rev)
+  }
+
+  /** Per-node degree under the given orientation (0 for edge-less vertices).
+    * Weighted = sum of weights, like the reference's DegreeCentrality
+    * (reference: algo/src/main/java/org/neo4j/gds/degree/DegreeCentrality.java:40-108).
+    */
+  def degrees(orientation: Orientation = Orientation.Natural,
+              weighted: Boolean = false): DataFrame = {
+    val es  = GraphOps.withWeight(orientedEdges(orientation))
+    val agg = if (weighted) sum(col("weight")) else count(lit(1)).cast("double")
+    val d   = es.groupBy(col("src").as("id")).agg(agg.as("degree"))
+    vertices.select("id")
+      .join(d, Seq("id"), "left")
+      .na.fill(0.0, Seq("degree"))
+  }
+
+  /** Subgraph by Catalyst predicate expressions over vertex / edge columns.
+    * The reference exposes this as `gds.beta.graph.create.subgraph` with a
+    * small Cypher-syntax expression language (reference:
+    * core/src/main/java/org/neo4j/gds/beta/filter/expression/Expression.java:48-300);
+    * we accept Spark SQL expressions, a strict superset.
+    */
+  def subgraph(vertexPredicate: String = "true",
+               edgePredicate: String = "true"): PropertyGraph = {
+    val vs  = vertices.filter(expr(vertexPredicate))
+    val ids = vs.select("id")
+    val es = edges.filter(expr(edgePredicate))
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+    PropertyGraph(vs, es)
+  }
+}
+
+object GraphOps {
+
+  /** Ensure a `weight: DOUBLE` column exists (default 1.0, the reference's
+    * DefaultValue fallback for relationship properties). */
+  def withWeight(edges: DataFrame, default: Double = 1.0): DataFrame =
+    if (edges.columns.contains("weight"))
+      edges.withColumn("weight", coalesce(col("weight").cast("double"), lit(default)))
+    else edges.withColumn("weight", lit(default))
+
+  /** Apply parallel-edge aggregation (reference: core/src/main/java/org/neo4j/
+    * gds/core/Aggregation.java:31-146). One shuffle on (src,dst); map-side
+    * partial aggregation keeps hub pairs cheap. */
+  def aggregateEdges(edges: DataFrame, how: EdgeAggregation): DataFrame = {
+    val es = withWeight(edges)
+    how match {
+      case EdgeAggregation.None   => es
+      case EdgeAggregation.Single => es.groupBy("src", "dst").agg(min("weight").as("weight"))
+      case EdgeAggregation.Sum    => es.groupBy("src", "dst").agg(sum("weight").as("weight"))
+      case EdgeAggregation.Min    => es.groupBy("src", "dst").agg(min("weight").as("weight"))
+      case EdgeAggregation.Max    => es.groupBy("src", "dst").agg(max("weight").as("weight"))
+      case EdgeAggregation.Count  => es.groupBy("src", "dst").agg(count(lit(1)).cast("double").as("weight"))
+    }
+  }
+
+  /** Canonical simple undirected edge set: (lo, hi) with lo < hi, self-loops
+    * dropped, parallel edges deduplicated. The input may be directed or
+    * already doubled. Used by triangle counting (reference requires an
+    * UNDIRECTED projection and ignores self-loops / parallels —
+    * algo/src/main/java/org/neo4j/gds/triangle/IntersectingTriangleCount.java:129-181). */
+  def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("lo"),
+              greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+
+  /** Derive the vertex set from an edge table (for graphs without an explicit
+    * vertex table). */
+  def verticesOf(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct()
+}
+
+/** Session-scoped named-graph registry — the Spark-native analogue of the
+  * reference's process-global `GraphStoreCatalog`
+  * (reference: core/src/main/java/org/neo4j/gds/core/loading/GraphStoreCatalog.java:41-185).
+  * Covers gds.graph.create/drop/list/exists and property stream/write/remove
+  * (reference: proc/catalog/src/main/java/org/neo4j/gds/catalog/ procs).
+  */
+final class GraphCatalog {
+  private val graphs = scala.collection.concurrent.TrieMap.empty[String, PropertyGraph]
+
+  def create(name: String, graph: PropertyGraph,
+             aggregation: EdgeAggregation = EdgeAggregation.None): PropertyGraph = {
+    val g = graph.copy(edges = GraphOps.aggregateEdges(graph.edges, aggregation))
+    graphs.put(name, g)
+    g
+  }
+
+  def get(name: String): PropertyGraph =
+    graphs.getOrElse(name, throw new NoSuchElementException(s"Graph not in catalog: $name"))
+
+  def exists(name: String): Boolean      = graphs.contains(name)
+  def drop(name: String): Boolean        = graphs.remove(name).isDefined
+  def list(): Seq[String]                = graphs.keys.toSeq.sorted
+
+  /** `mutate` execution mode: attach an algorithm result as a new vertex
+    * property of the in-session graph (enables chaining), like the
+    * reference's MutatePropertyProc (proc/common/src/main/java/org/neo4j/gds/
+    * MutatePropertyProc.java:51-87). `result` must have columns (id, value).
+    */
+  def mutateNodeProperty(name: String, property: String, result: DataFrame): PropertyGraph = {
+    val g  = get(name)
+    val r  = result.withColumnRenamed(result.columns.filter(_ != "id").head, property)
+    val vs = g.vertices.join(r.select(col("id"), col(property)), Seq("id"), "left")
+    val g2 = g.copy(vertices = vs)
+    graphs.put(name, g2)
+    g2
+  }
+
+  def removeNodeProperty(name: String, property: String): PropertyGraph = {
+    val g  = get(name)
+    val g2 = g.copy(vertices = g.vertices.drop(property))
+    graphs.put(name, g2)
+    g2
+  }
+}

@@ -1,0 +1,102 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Common-Crawl-style web-page table: synthesis, deterministic text
+  * extraction, and link extraction into an edge table.
+  *
+  * Input schema (BASELINE.json `input_hint`):
+  * `pages(url: STRING, warc_ts: TIMESTAMP, html: BINARY, text: STRING, lang: STRING)`.
+  *
+  * Everything here is a pure function of (seed, i): the synthetic corpus is
+  * byte-identical across runs and across parallelism levels, which is what
+  * lets the end-to-end tests assert "text byte-identical per url" and lets
+  * the benchmark run the same input at two parallelism levels. All hashing
+  * uses Spark's built-in `xxhash64` (codegen'd, overflow-free), never a UDF.
+  */
+object Pages {
+
+  val EpochBase = 1600000000L // 2020-09-13T12:26:40Z, arbitrary fixed crawl epoch
+
+  /** Uniform (0, 1] double derived from a 64-bit hash column. */
+  private def unit(h: org.apache.spark.sql.Column) =
+    (shiftrightunsigned(h, 11) + lit(1L)).cast("double") / lit(9007199254740992.0) // 2^53
+
+  /** Deterministic synthetic page corpus with a power-law out-degree link
+    * structure (FIXTURES.md §A): out-degree d_i = min(maxDegree,
+    * floor(u^(-1/alpha))) with alpha = 2.1, targets t_k = hash(i, k) mod n,
+    * self-links dropped, duplicate links kept (exercises parallel-edge
+    * aggregation). A few ids get hub-sized degree to exercise skew handling.
+    *
+    * Analogous to the reference's seeded random generator with POWER_LAW
+    * distribution (reference: core/src/main/java/org/neo4j/gds/beta/generator/
+    * RandomGraphGenerator.java:78-100, RelationshipDistribution.java:34-75).
+    */
+  def synth(spark: SparkSession, n: Long, seed: Long = 42L,
+            hosts: Long = 100L, maxDegree: Int = 1000,
+            hubCount: Int = 4, hubDegree: Int = 5000): DataFrame = {
+    val i    = col("id")
+    val url  = concat(lit("https://host-"), pmod(i, lit(hosts)).cast("string"),
+                      lit(".example/p/"), i.cast("string"))
+    val h    = xxhash64(lit(seed), i)
+    // power-law out-degree; first hubCount pages are forced hubs (skew)
+    val dRaw = floor(pow(unit(h), lit(-1.0 / 2.1))).cast("int")
+    val deg  = when(i < lit(hubCount.toLong), lit(math.min(hubDegree, (n - 1).toInt)))
+      .otherwise(least(dRaw, lit(maxDegree)))
+    val targetId  = (k: org.apache.spark.sql.Column) => pmod(xxhash64(lit(seed), i, k), lit(n))
+    val targetUrl = (t: org.apache.spark.sql.Column) =>
+      concat(lit("https://host-"), pmod(t, lit(hosts)).cast("string"),
+             lit(".example/p/"), t.cast("string"))
+    val links = when(deg > 0,
+        filter(transform(sequence(lit(0), deg - 1), k => targetId(k)), t => t =!= i))
+      .otherwise(array().cast("array<bigint>"))
+    val htmlStr = concat(
+      lit("<html><head><title>page "), i.cast("string"), lit("</title></head><body>"),
+      concat_ws("", transform(col("links"), t =>
+        concat(lit("<a href=\""), targetUrl(t), lit("\">link "), t.cast("string"), lit("</a> ")))),
+      lit("<p>body of page "), i.cast("string"), lit(" on host "),
+      pmod(i, lit(hosts)).cast("string"), lit("</p></body></html>"))
+
+    spark.range(n)
+      .withColumn("links", links)
+      .withColumn("url", url)
+      .withColumn("warc_ts", timestamp_seconds(lit(EpochBase) + i))
+      .withColumn("html_str", htmlStr)
+      .withColumn("html", col("html_str").cast("binary"))
+      .withColumn("text", extractText(col("html_str")))
+      .withColumn("lang", lit("en"))
+      .select("url", "warc_ts", "html", "text", "lang")
+  }
+
+  /** Deterministic, locale/time-independent HTML→text extraction. Pure
+    * column expression (whole-stage codegen, no UDF): strip tags, decode the
+    * few entities we emit, collapse whitespace. MUST stay byte-stable across
+    * versions — the north rule requires per-url byte-identical text. */
+  def extractText(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noTags = regexp_replace(html, "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      noTags, "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Extract outgoing hrefs from raw html bytes. Returns (url, href) rows. */
+  def extractLinks(pages: DataFrame): DataFrame =
+    pages
+      .select(col("url"), explode(
+        regexp_extract_all(col("html").cast("string"), lit("href=\"([^\"]*)\""), lit(1))).as("href"))
+
+  /** Project a page table into a PropertyGraph: vertex id = xxhash64(url)
+    * (stable 64-bit ids, no dense IdMap needed — Dataset joins key on the
+    * original id space; the reference instead builds an IdMap,
+    * core/src/main/java/org/neo4j/gds/core/loading/IdMap.java).
+    * Edges carry weight = 1.0 per link occurrence.
+    */
+  def toGraph(pages: DataFrame): graft.core.PropertyGraph = {
+    val vertices = pages.select(xxhash64(col("url")).as("id"), col("url"))
+    val edges = extractLinks(pages)
+      .select(xxhash64(col("url")).as("src"), xxhash64(col("href")).as("dst"),
+              lit(1.0).as("weight"))
+    graft.core.PropertyGraph(vertices, edges)
+  }
+}

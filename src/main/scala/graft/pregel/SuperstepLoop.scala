@@ -1,0 +1,126 @@
+package graft.pregel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.io.SnapshotStore
+
+/** Configuration for the iterative superstep driver.
+  *
+  * @param maxSteps           maximum number of `step` invocations after the
+  *                           initial state (PageRank with GDS `maxIterations`
+  *                           = K runs K supersteps total: the initial send
+  *                           superstep plus K-1 steps here).
+  * @param checkpointDir      when set, every `checkpointInterval` iterations
+  *                           the state is committed as a durable snapshot
+  *                           (Iceberg-style, see [[graft.io.SnapshotStore]])
+  *                           with convergence metrics in the manifest; a run
+  *                           can resume from the latest committed snapshot.
+  * @param checkpointInterval snapshot cadence (1 = every iteration, the
+  *                           north-rule default).
+  * @param truncateInterval   without a checkpointDir, lineage is cut via
+  *                           localCheckpoint every this many iterations —
+  *                           mandatory for iterative DataFrame jobs or the
+  *                           logical plan grows super-linearly per superstep
+  *                           (SURVEY.md §4 item 1).
+  */
+final case class LoopConfig(
+  maxSteps: Int,
+  checkpointDir: Option[String] = None,
+  checkpointInterval: Int = 1,
+  truncateInterval: Int = 6,
+  storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+
+final case class IterationMetrics(iteration: Int, activeCount: Long, wallMs: Long)
+
+final case class LoopResult(
+  state: DataFrame,
+  ranIterations: Int,
+  didConverge: Boolean,
+  history: Seq[IterationMetrics])
+
+/** Superstep driver: the Spark-native equivalent of the reference's Pregel
+  * run loop (reference: pregel/src/main/java/org/neo4j/gds/beta/pregel/
+  * Pregel.java:158-187 and PartitionedComputer.java:77-82).
+  *
+  * State is a DataFrame carrying a boolean `_active` column; a superstep is
+  * one `step(state, i)` call (typically: filter active → join edges → shuffle
+  * agg → join back). Convergence = no active rows, mirroring the reference's
+  * "no messages sent AND all voted to halt". The driver owns persistence,
+  * lineage truncation, durable per-iteration checkpoints and resume — the
+  * pieces the single-JVM reference never needed (SURVEY.md §2.7).
+  *
+  * Shuffle discipline: the driver never repartitions state; each step is
+  * expected to produce state hash-partitioned by id (the natural output of
+  * its groupBy), so the next step's join against edges pre-partitioned on src
+  * reuses partitioning instead of adding exchanges.
+  */
+object SuperstepLoop {
+
+  val ActiveCol = "_active"
+
+  def run(init: DataFrame, cfg: LoopConfig)
+         (step: (DataFrame, Int) => DataFrame): LoopResult =
+    loop(init.sparkSession, init, 0, Seq.empty, cfg)(step)
+
+  /** Resume from the latest durable snapshot under `cfg.checkpointDir`.
+    * Falls back to `init` (fresh run) when no snapshot exists. The final
+    * state is identical to an uninterrupted run: supersteps are pure
+    * functions of the previous state, and snapshot commits are atomic. */
+  def resume(spark: SparkSession, init: => DataFrame, cfg: LoopConfig)
+            (step: (DataFrame, Int) => DataFrame): LoopResult = {
+    val dir = cfg.checkpointDir.getOrElse(
+      throw new IllegalArgumentException("resume requires checkpointDir"))
+    SnapshotStore.latest(dir) match {
+      case None => run(init, cfg)(step)
+      case Some(snap) =>
+        val iter   = snap.meta("iteration").toInt
+        val active = snap.meta("activeCount").toLong
+        val state  = spark.read.parquet(snap.dataPath)
+        if (active == 0L || iter >= cfg.maxSteps)
+          LoopResult(state, iter, active == 0L, Seq.empty)
+        else loop(spark, state, iter, Seq.empty, cfg)(step)
+    }
+  }
+
+  private def loop(spark: SparkSession, init: DataFrame, startIter: Int,
+                   history0: Seq[IterationMetrics], cfg: LoopConfig)
+                  (step: (DataFrame, Int) => DataFrame): LoopResult = {
+    var state   = init.persist(cfg.storageLevel)
+    var active  = state.filter(col(ActiveCol)).count()
+    var history = history0
+    var iter    = startIter
+    var converged = active == 0L
+
+    while (!converged && iter < cfg.maxSteps) {
+      iter += 1
+      val t0   = System.nanoTime()
+      val next = step(state, iter).persist(cfg.storageLevel)
+      active   = next.filter(col(ActiveCol)).count()
+      val wall = (System.nanoTime() - t0) / 1000000L
+      history :+= IterationMetrics(iter, active, wall)
+      converged = active == 0L
+
+      val prev = state
+      state = cfg.checkpointDir match {
+        case Some(dir) if iter % cfg.checkpointInterval == 0 || converged =>
+          // Durable snapshot: per-partition parquet + convergence metrics in
+          // the manifest; reading it back also truncates lineage.
+          val snap = SnapshotStore.commit(next, dir, Map(
+            "iteration"   -> iter.toString,
+            "activeCount" -> active.toString,
+            "wallMs"      -> wall.toString,
+            "partitions"  -> next.rdd.getNumPartitions.toString))
+          next.unpersist(false)
+          spark.read.parquet(snap.dataPath).persist(cfg.storageLevel)
+        case _ if iter % cfg.truncateInterval == 0 =>
+          val cut = next.localCheckpoint(true)
+          next.unpersist(false)
+          cut
+        case _ => next
+      }
+      prev.unpersist(false)
+    }
+    LoopResult(state, iter, converged, history)
+  }
+}

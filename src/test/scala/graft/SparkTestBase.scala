@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.PropertyGraph
+
+/** One SparkSession per test JVM (all suites fork into a single JVM). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      // tiny fixtures: minimize per-superstep scheduling overhead
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+trait SparkTestBase {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  /** Graph from an explicit edge list over vertex ids 0 until n —
+    * the analogue of the reference's GDL fixtures with declaration-order ids
+    * (test-utils/src/main/java/org/neo4j/gds/TestSupport.java:133-155). */
+  def graphOf(n: Int, edges: Seq[(Long, Long)]): PropertyGraph = {
+    import spark.implicits._
+    PropertyGraph(
+      spark.range(n).toDF("id"),
+      edges.toDF("src", "dst"))
+  }
+
+  def weightedGraphOf(n: Int, edges: Seq[(Long, Long, Double)]): PropertyGraph = {
+    import spark.implicits._
+    PropertyGraph(
+      spark.range(n).toDF("id"),
+      edges.toDF("src", "dst", "weight"))
+  }
+
+  def collectMap(df: DataFrame, key: String, value: String): Map[Long, Double] =
+    df.select(col(key).cast("long"), col(value).cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  def collectLongMap(df: DataFrame, key: String, value: String): Map[Long, Long] =
+    df.select(col(key).cast("long"), col(value).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  def assertRanks(actual: Map[Long, Double], expected: Map[Long, Double], tol: Double): Unit =
+    expected.foreach { case (id, exp) =>
+      val act = actual.getOrElse(id, Double.NaN)
+      assert(math.abs(act - exp) <= tol,
+        s"node $id: expected $exp, got $act (|diff| > $tol)")
+    }
+}
