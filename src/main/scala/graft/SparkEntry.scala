@@ -1,24 +1,439 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.algo._
+import graft.core.{GraphOps, PropertyGraph}
+import graft.ops.{Ann, Dedup, Events, Multimodal, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator exposes (a) a `queries` entry running the Spark-native
+  * implementation on the driver-provided parquet tables and (b) where the
+  * semantics are SQL-expressible, an equivalent DuckDB oracle in `oracleSql`.
+  * Iterative graph algorithms are verified against loop-unrolled SQL with
+  * identical arithmetic; WCC against enough unrolled hash-min rounds to
+  * reach fixpoint with wide margin on the derived graphs.
+  */
 object SparkEntry {
+
   /** Flagship: the full web-graph pipeline — synthesize a Common-Crawl-style
     * page table, extract links into an edge table, run GDS-semantics PageRank,
     * return the top pages joined back to their urls. */
   def entry(spark: SparkSession): DataFrame = {
     val pages = graft.io.Pages.synth(spark, 2000L)
     val graph = graft.io.Pages.toGraph(pages)
-    val pr    = graft.algo.PageRank.run(graph,
-      graft.algo.PageRankConfig(maxIterations = 10))
+    val pr    = PageRank.run(graph, PageRankConfig(maxIterations = 10))
     pr.scores.join(graph.vertices, "id")
       .select(col("url"), col("score"))
       .orderBy(desc("score"), col("url"))
       .limit(20)
   }
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------------------------
+  // Derived graphs (deterministic, expressible identically in SQL)
+  // ------------------------------------------------------------------
+
+  /** Bipartite customer→order-bucket graph from `orders`. */
+  private def ordersGraph(s: SparkSession, dir: String): PropertyGraph = {
+    val o = table(s, dir, "orders")
+    val edges = o.select((col("o_custkey") % 1500).as("src"),
+                         (lit(1500L) + col("o_orderkey") % 2000).as("dst"))
+    PropertyGraph(GraphOps.verticesOf(edges), edges)
+  }
+  private val OrdersEdgesSql =
+    "SELECT o_custkey % 1500 AS src, 1500 + (o_orderkey % 2000) AS dst FROM orders"
+
+  /** Weighted variant: deterministic weight in 1..7 per order row. */
+  private def ordersWeightedGraph(s: SparkSession, dir: String): PropertyGraph = {
+    val o = table(s, dir, "orders")
+    val edges = o.select((col("o_custkey") % 1500).as("src"),
+                         (lit(1500L) + col("o_orderkey") % 2000).as("dst"),
+                         ((col("o_orderkey") % 7 + 1).cast("double")).as("weight"))
+    PropertyGraph(GraphOps.verticesOf(edges), edges)
+  }
+  private val OrdersWeightedEdgesSql =
+    "SELECT o_custkey % 1500 AS src, 1500 + (o_orderkey % 2000) AS dst, " +
+    "CAST(o_orderkey % 7 + 1 AS DOUBLE) AS weight FROM orders"
+
+  /** Dense mono-partite 300-node graph from `orders` (has triangles). */
+  private def denseGraph(s: SparkSession, dir: String): PropertyGraph = {
+    val o = table(s, dir, "orders")
+    val edges = o.select((col("o_orderkey") % 300).as("src"),
+                         ((col("o_orderkey") * 7 + col("o_custkey")) % 300).as("dst"))
+    PropertyGraph(GraphOps.verticesOf(edges), edges)
+  }
+  private val DenseEdgesSql =
+    "SELECT o_orderkey % 300 AS src, (o_orderkey * 7 + o_custkey) % 300 AS dst FROM orders"
+
+  private val NodesSql =
+    "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)"
+
+  // ------------------------------------------------------------------
+  // Oracle SQL generators (loop-unrolled iterative algorithms)
+  // ------------------------------------------------------------------
+
+  /** GDS delta-push PageRank, `supersteps` total supersteps (superstep 0 is
+    * the init+send step), unrolled as one CTE per superstep. Arithmetic
+    * mirrors graft.algo.PageRank exactly: init = (1.0 - 0.85), delta =
+    * 0.85 * Σ(delta_prev * w / deg). */
+  private def pagerankSql(edgesSql: String, supersteps: Int, weighted: Boolean): String = {
+    val deg =
+      if (weighted) "SELECT src, sum(weight) AS deg FROM edges GROUP BY src"
+      else "SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src"
+    val norm = if (weighted) "e.weight / d.deg" else "1.0 / d.deg"
+    val steps = (1 until supersteps).map { k =>
+      val p = s"s${k - 1}"
+      s"""m$k AS (
+         |  SELECT me.dst AS id, sum(s.delta * me.norm) AS msum
+         |  FROM $p s JOIN medges me ON s.id = me.src
+         |  WHERE s.delta > 0 GROUP BY me.dst),
+         |s$k AS (
+         |  SELECT s.id,
+         |         s.rank + COALESCE(0.85 * m.msum, 0.0) AS rank,
+         |         COALESCE(0.85 * m.msum, 0.0) AS delta
+         |  FROM $p s LEFT JOIN m$k m ON s.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |$NodesSql,
+       |deg AS ($deg),
+       |medges AS (SELECT e.src, e.dst, $norm AS norm
+       |           FROM edges e JOIN deg d ON e.src = d.src WHERE d.deg > 0),
+       |s0 AS (SELECT id, (1.0 - 0.85) AS rank, (1.0 - 0.85) AS delta FROM nodes),
+       |$steps
+       |SELECT id, floor(rank * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS score FROM s${supersteps - 1} ORDER BY id""".stripMargin
+  }
+
+  /** Hash-min WCC unrolled `rounds` times. The derived orders graph reaches
+    * fixpoint in <= 7 rounds at sf0.001/0.01/0.1 (measured); 12 gives ~2x
+    * margin while staying under the depth where nested-CTE optimization
+    * costs explode in some engines. */
+  private def wccSql(edgesSql: String, rounds: Int, consecutive: Boolean): String = {
+    // Each round references the previous CTE exactly ONCE (self-loop edges
+    // carry a node's own component), keeping engines that inline CTEs at a
+    // linear plan instead of an exponential one.
+    val steps = (1 to rounds).map { k =>
+      s"""c$k AS (
+         |  SELECT u.dst AS id, min(s.comp) AS comp
+         |  FROM undx u JOIN c${k - 1} s ON s.id = u.src GROUP BY u.dst)""".stripMargin
+    }.mkString(",\n")
+    val fin =
+      if (consecutive)
+        s"SELECT id, dense_rank() OVER (ORDER BY comp) - 1 AS componentId FROM c$rounds ORDER BY id"
+      else s"SELECT id, comp AS componentId FROM c$rounds ORDER BY id"
+    s"""WITH edges AS ($edgesSql),
+       |$NodesSql,
+       |undx AS (SELECT src, dst FROM edges WHERE src <> dst
+       |         UNION SELECT dst, src FROM edges WHERE src <> dst
+       |         UNION SELECT id, id FROM nodes),
+       |c0 AS (SELECT id, id AS comp FROM nodes),
+       |$steps
+       |$fin""".stripMargin
+  }
+
+  /** Fully synchronous label propagation, `iterations` unrolled rounds:
+    * vote = out-neighbor labels weighted by edge count; argmax with
+    * (weight DESC, label ASC) tie-break; keep label when no out-edges. */
+  private def labelPropSql(edgesSql: String, iterations: Int): String = {
+    val steps = (1 to iterations).map { k =>
+      val p = s"l${k - 1}"
+      s"""v$k AS (
+         |  SELECT e.src, l.label AS cand, CAST(count(*) AS DOUBLE) AS w
+         |  FROM edges e JOIN $p l ON l.id = e.dst GROUP BY e.src, l.label),
+         |b$k AS (
+         |  SELECT src AS id, cand FROM (
+         |    SELECT src, cand, row_number() OVER (PARTITION BY src ORDER BY w DESC, cand ASC) AS rn
+         |    FROM v$k) t WHERE rn = 1),
+         |l$k AS (
+         |  SELECT l.id, COALESCE(b.cand, l.label) AS label
+         |  FROM $p l LEFT JOIN b$k b ON l.id = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |$NodesSql,
+       |l0 AS (SELECT id, id AS label FROM nodes),
+       |$steps
+       |SELECT id, label FROM l$iterations ORDER BY id""".stripMargin
+  }
+
+  private def triangleBaseSql(edgesSql: String): String =
+    s"""edges AS ($edgesSql),
+       |$NodesSql,
+       |canon AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+       |          FROM edges WHERE src <> dst),
+       |tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+       |        FROM canon e1
+       |        JOIN canon e2 ON e2.lo = e1.hi
+       |        JOIN canon e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Queries: one per implemented operator (SURVEY.md §2)
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- plain relational sanity (engine basics) ---
+    "q1_agg" -> ((s, dir) => table(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(graft.core.Num.roundTo(sum("l_quantity"), 2).as("sum_qty"),
+        graft.core.Num.roundTo(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")),
+
+    // --- centrality ---
+    "q_pagerank" -> ((s, dir) => {
+      val r = PageRank.run(ordersGraph(s, dir), PageRankConfig(tolerance = 0.0, maxIterations = 8))
+      r.scores.select(col("id"), graft.core.Num.roundTo(col("score"), 6).as("score")).orderBy("id")
+    }),
+    "q_pagerank_weighted" -> ((s, dir) => {
+      val r = PageRank.run(ordersWeightedGraph(s, dir),
+        PageRankConfig(tolerance = 0.0, maxIterations = 6, weighted = true))
+      r.scores.select(col("id"), graft.core.Num.roundTo(col("score"), 6).as("score")).orderBy("id")
+    }),
+    "q_degree" -> ((s, dir) =>
+      DegreeCentrality.run(ordersGraph(s, dir))
+        .select(col("id"), col("score").cast("long").as("degree")).orderBy("id")),
+    "q_degree_weighted" -> ((s, dir) =>
+      DegreeCentrality.run(ordersWeightedGraph(s, dir), weighted = true)
+        .select(col("id"), graft.core.Num.roundTo(col("score"), 6).as("wdegree")).orderBy("id")),
+
+    // --- community ---
+    "q_wcc" -> ((s, dir) =>
+      Wcc.run(ordersGraph(s, dir)).components.orderBy("id")),
+    "q_wcc_consecutive" -> ((s, dir) =>
+      Wcc.run(ordersGraph(s, dir), WccConfig(consecutiveIds = true)).components.orderBy("id")),
+    "q_labelprop" -> ((s, dir) =>
+      LabelPropagation.run(denseGraph(s, dir),
+        LpConfig(maxIterations = 2, schedule = Schedule.FullSync)).labels.orderBy("id")),
+    "q_triangle_local" -> ((s, dir) =>
+      TriangleCount.run(denseGraph(s, dir)).localTriangles.orderBy("id")),
+    "q_triangle_global" -> ((s, dir) => {
+      val g = TriangleCount.run(denseGraph(s, dir)).globalTriangles
+      val spark = s; import spark.implicits._
+      Seq(g).toDF("triangles")
+    }),
+    "q_lcc" -> ((s, dir) => {
+      val (coeffs, _) = TriangleCount.localClusteringCoefficient(denseGraph(s, dir))
+      coeffs.select(col("id"), graft.core.Num.roundTo(col("coefficient"), 6).as("coefficient")).orderBy("id")
+    }),
+
+    // --- projection / catalog surface ---
+    "q_subgraph_degree" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val nCust = c.count()
+      val vertices = c.select(col("c_custkey").as("id"), col("c_acctbal"))
+      val edges = c.select(col("c_custkey").as("src"),
+        ((col("c_custkey") * 3 + 1) % nCust).as("dst"))
+      PropertyGraph(vertices, edges).subgraph(vertexPredicate = "c_acctbal > 1000")
+        .degrees().select(col("id"), col("degree").cast("long").as("degree")).orderBy("id")
+    }),
+
+    // --- dedup / text analysis over `documents` ---
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactCanonical(table(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+    "q_token_count" -> ((s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("tokens")).orderBy("doc_id")),
+    "q_quality" -> ((s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality")).orderBy("doc_id")),
+    "q_lang_id" -> ((s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), TextOps.langIdHeuristic(col("text")).as("predicted_lang"))
+      .orderBy("doc_id")),
+    "q_fingerprint" -> ((s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+    "q_jaccard_pairs" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(docs.select(col("doc_id").as("id_b")), "id_b")
+      Dedup.jaccardForPairs(docs, pairs, "doc_id", "text", n = 1)
+        .orderBy("id_a")
+    }),
+
+    // --- similarity search over `embeddings` ---
+    "q_ann_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Ann.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- event streams ---
+    "q_sessionize" -> ((s, dir) =>
+      Events.sessionize(table(s, dir, "events")).orderBy("user_id", "session_id")),
+    "q_events_window" -> ((s, dir) =>
+      Events.windowedCounts(table(s, dir, "events")).orderBy("window_start", "event_type")),
+
+    // --- rows-only checks (engine-specific hashing / synthetic inputs) ---
+    "q_minhash_neardup" -> ((s, dir) =>
+      Dedup.minHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5).orderBy("id_a", "id_b")),
+    "q_simhash_neardup" -> ((s, dir) =>
+      Dedup.simHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 8).orderBy("id_a", "id_b")),
+    "q_lsh_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Ann.lshTopK(e.filter(col("vec_id") < 5), e, k = 3).orderBy("query_id", "rank")
+    }),
+    "q_media_features" -> ((s, _) =>
+      Multimodal.extractFeatures(Multimodal.decodeImages(Multimodal.synthMedia(s, 200)))
+        .select("media_id", "kind", "width", "height", "channels", "embedding")
+        .orderBy("media_id")),
+    "q_pages_wcc" -> ((s, _) => {
+      val graph = graft.io.Pages.toGraph(graft.io.Pages.synth(s, 3000L))
+      Wcc.run(graph).components.groupBy("componentId").agg(count(lit(1)).as("size"))
+        .orderBy(desc("size"), col("componentId")).limit(20)
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles
+  // ------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, floor(sum(l_quantity) * 100.0 + 0.5 + 0.000001) / 100.0 AS sum_qty,
+        |floor(sum(l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5 + 0.000001) / 100.0 AS revenue, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_pagerank" -> pagerankSql(OrdersEdgesSql, supersteps = 8, weighted = false),
+    "q_pagerank_weighted" -> pagerankSql(OrdersWeightedEdgesSql, supersteps = 6, weighted = true),
+
+    "q_degree" ->
+      s"""WITH edges AS ($OrdersEdgesSql), $NodesSql,
+         |d AS (SELECT src AS id, count(*) AS degree FROM edges GROUP BY src)
+         |SELECT n.id, COALESCE(d.degree, 0) AS degree FROM nodes n
+         |LEFT JOIN d ON n.id = d.id ORDER BY n.id""".stripMargin,
+    "q_degree_weighted" ->
+      s"""WITH edges AS ($OrdersWeightedEdgesSql), $NodesSql,
+         |d AS (SELECT src AS id, floor(sum(weight) * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS wdegree FROM edges GROUP BY src)
+         |SELECT n.id, COALESCE(d.wdegree, 0.0) AS wdegree FROM nodes n
+         |LEFT JOIN d ON n.id = d.id ORDER BY n.id""".stripMargin,
+
+    "q_wcc" -> wccSql(OrdersEdgesSql, rounds = 12, consecutive = false),
+    "q_wcc_consecutive" -> wccSql(OrdersEdgesSql, rounds = 12, consecutive = true),
+    "q_labelprop" -> labelPropSql(DenseEdgesSql, iterations = 2),
+
+    "q_triangle_local" ->
+      s"""WITH ${triangleBaseSql(DenseEdgesSql)},
+         |corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+         |cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id)
+         |SELECT n.id, COALESCE(cnt.triangles, 0) AS triangles FROM nodes n
+         |LEFT JOIN cnt ON n.id = cnt.id ORDER BY n.id""".stripMargin,
+    "q_triangle_global" ->
+      s"WITH ${triangleBaseSql(DenseEdgesSql)}\nSELECT count(*) AS triangles FROM tri",
+    "q_lcc" ->
+      s"""WITH ${triangleBaseSql(DenseEdgesSql)},
+         |corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+         |cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id),
+         |deg AS (SELECT id, count(*) AS d FROM
+         |  (SELECT lo AS id FROM canon UNION ALL SELECT hi FROM canon) t GROUP BY id)
+         |SELECT n.id,
+         |  CASE WHEN COALESCE(cnt.triangles, 0) = 0 THEN 0.0
+         |       ELSE floor(2.0 * cnt.triangles / (deg.d * (deg.d - 1.0)) * 1000000.0 + 0.5 + 0.000001) / 1000000.0 END AS coefficient
+         |FROM nodes n LEFT JOIN cnt ON n.id = cnt.id LEFT JOIN deg ON n.id = deg.id
+         |ORDER BY n.id""".stripMargin,
+
+    "q_subgraph_degree" ->
+      """WITH nc AS (SELECT count(*) AS n FROM customer),
+        |verts AS (SELECT c_custkey AS id, c_acctbal FROM customer WHERE c_acctbal > 1000),
+        |edges AS (SELECT c_custkey AS src, (c_custkey * 3 + 1) % (SELECT n FROM nc) AS dst FROM customer),
+        |kept AS (SELECT e.src, e.dst FROM edges e
+        |         JOIN verts a ON e.src = a.id JOIN verts b ON e.dst = b.id),
+        |d AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree FROM kept GROUP BY src)
+        |SELECT v.id, COALESCE(d.degree, 0) AS degree FROM verts v
+        |LEFT JOIN d ON v.id = d.id ORDER BY v.id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH fp AS (SELECT doc_id AS id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM documents),
+        |canon AS (SELECT f, min(id) AS canonical_id FROM fp GROUP BY f)
+        |SELECT fp.id, canon.canonical_id FROM fp JOIN canon ON fp.f = canon.f ORDER BY fp.id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality" -> qualitySql,
+    "q_lang_id" -> langIdSql,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_jaccard_pairs" ->
+      """WITH pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |words AS (SELECT DISTINCT doc_id AS id, unnest(
+        |  regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |sizes AS (SELECT id, count(*) AS sz FROM words GROUP BY id),
+        |inter AS (SELECT p.id_a, p.id_b, count(*) AS i FROM pairs p
+        |  JOIN words wa ON wa.id = p.id_a JOIN words wb ON wb.id = p.id_b AND wb.w = wa.w
+        |  GROUP BY p.id_a, p.id_b)
+        |SELECT p.id_a, p.id_b,
+        |  floor(CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - COALESCE(i.i, 0)) * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS jaccard
+        |FROM pairs p
+        |LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+        |JOIN sizes sa ON sa.id = p.id_a JOIN sizes sb ON sb.id = p.id_b
+        |ORDER BY p.id_a""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |sims AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  floor(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) * 100000.0 + 0.5 + 0.000001) / 100000.0 AS cosine
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS events, min(ts) AS started, max(ts) AS ended,
+        |  floor(sum(value) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS total_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+        |floor(sum(value) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+
+  /** Quality-score oracle — must mirror TextOps.qualityScore bit-for-bit:
+    * nested 6-dp rounds included. */
+  private def qualitySql: String = {
+    val tokens = """CASE WHEN length(trim(text)) = 0 THEN 0
+      ELSE length(regexp_split_to_array(trim(text), '\s+')) END"""
+    val punctRatio = s"""floor((CASE WHEN length(text) = 0 THEN 0.0
+      ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) END) * 1000000.0 + 0.5 + 0.000001) / 1000000.0"""
+    val stopCount = Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+      .map(w => s"length(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
+    val stopRatio = s"""floor((CASE WHEN ($tokens) = 0 THEN 0.0
+      ELSE CAST($stopCount AS DOUBLE) / ($tokens) END) * 1000000.0 + 0.5 + 0.000001) / 1000000.0"""
+    s"""SELECT doc_id, floor((
+       |  least(CAST($tokens AS DOUBLE) / 256.0, 1.0) +
+       |  greatest(0.0, 1.0 - ($punctRatio) * 5.0) +
+       |  least(($stopRatio) / 0.4, 1.0)) / 3.0 * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private def langIdSql: String = {
+    val tokens = """CASE WHEN length(trim(text)) = 0 THEN 0
+      ELSE length(regexp_split_to_array(trim(text), '\s+')) END"""
+    val stopCount = Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+      .map(w => s"length(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
+    val stopRatio = s"""floor((CASE WHEN ($tokens) = 0 THEN 0.0
+      ELSE CAST($stopCount AS DOUBLE) / ($tokens) END) * 1000000.0 + 0.5 + 0.000001) / 1000000.0"""
+    s"""SELECT doc_id,
+       |  CASE WHEN length(text) = 0 THEN 'unknown'
+       |       WHEN CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+       |            / length(text) < 0.5 THEN 'non_latin'
+       |       WHEN ($stopRatio) >= 0.08 THEN 'en'
+       |       ELSE 'latin_other' END AS predicted_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 }

@@ -26,8 +26,12 @@ import graft.pregel.{LoopConfig, SuperstepLoop}
   */
 sealed trait Schedule
 object Schedule {
-  case object Sweep extends Schedule
-  case object Sync  extends Schedule
+  case object Sweep    extends Schedule
+  case object Sync     extends Schedule
+  /** Pure synchronous rounds (every node updates every iteration). Fully
+    * deterministic and SQL-expressible, but can 2-cycle on bipartite-ish
+    * graphs — use with a fixed iteration budget. */
+  case object FullSync extends Schedule
 }
 
 /** Reference defaults: maxIterations 10 (algo/src/main/java/org/neo4j/gds/
@@ -58,8 +62,8 @@ final case class LpResult(labels: DataFrame, ranIterations: Int, didConverge: Bo
 object LabelPropagation {
 
   def run(graph: PropertyGraph, cfg: LpConfig = LpConfig()): LpResult = cfg.schedule match {
-    case Schedule.Sweep => runSweep(graph, cfg)
-    case Schedule.Sync  => runSync(graph, cfg)
+    case Schedule.Sweep                       => runSweep(graph, cfg)
+    case Schedule.Sync | Schedule.FullSync    => runSync(graph, cfg)
   }
 
   private def initLabelCol(vertices: DataFrame, cfg: LpConfig): org.apache.spark.sql.Column =
@@ -179,7 +183,9 @@ object LabelPropagation {
         .groupBy(col("src").as("id"))
         .agg(max(struct(col("w"), (-col("cand")).as("neg"))).as("b"))
         .select(col("id"), (-col("b.neg")).as("voted"))
-      val phase = pmod(xxhash64(col("id"), lit(iter.toLong)), lit(2L)) === lit(0L)
+      val phase =
+        if (cfg.schedule == Schedule.FullSync) lit(true)
+        else pmod(xxhash64(col("id"), lit(iter.toLong)), lit(2L)) === lit(0L)
       val wants = col("voted").isNotNull && col("voted") =!= col("label")
       state.select("id", "label").join(best, Seq("id"), "left")
         .select(col("id"),

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`): brute-force
+  * cosine top-k as the exact baseline, and an LSH-bucketed variant as the
+  * scale path. Dot products are `zip_with` + `aggregate` expressions — no
+  * UDFs, fully codegen'd.
+  */
+object Ann {
+
+  /** Cosine similarity between two array<float/double> columns, computed in
+    * double precision. 0.0 when either norm is 0 (instead of NaN/err). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector, brute force.
+    * The query set is broadcast (it is the small side by construction), so
+    * the scan over the corpus is a single map-side pass — no shuffle until
+    * the final per-query top-k, which is a partial-aggregated window.
+    * Ranking uses the 5-dp-rounded similarity with id tie-break, so results
+    * are deterministic and portable across float summation orders. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.core.Num.roundTo(cosine(col("qv"), col("cv")), 5).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Random-hyperplane signature: bit p = sign of Σ_d vec[d] * r(p, d) where
+    * r is a deterministic ±1 pseudo-random derived from xxhash64(p, d).
+    * Vectors with equal signatures land in one bucket. */
+  def hyperplaneBucket(vec: Column, planes: Int, seed: Long = 42L): Column = {
+    val proj = (p: Int) => aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (v, d) => v.cast("double") *
+          when(pmod(xxhash64(lit(seed), lit(p), d), lit(2L)) === 0L, lit(1.0)).otherwise(lit(-1.0))),
+      lit(0.0), (acc, x) => acc + x)
+    (0 until planes).map { p =>
+      when(proj(p) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates limited to vectors sharing
+    * the query's hyperplane bucket under any of `tables` independent
+    * signatures; exact cosine + top-k within candidates. The join key is
+    * (table, bucket) — at corpus scale this replaces the O(|Q|·|C|) scan
+    * with bucket-local work. Recall grows with `tables`, bucket selectivity
+    * with `planes`. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Int = 12, tables: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def signed(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+          posexplode(array((0 until tables).map(t =>
+            hyperplaneBucket(col(vecCol), planes, seed = 42L + t)): _*))
+            .as(Seq("table", "bucket")))
+    val q = signed(queries, "query_id", "qv")
+    val c = signed(corpus, "neighbor_id", "cv")
+    val candidates = q.join(c, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .distinct()
+    val sims = candidates.select(col("query_id"), col("neighbor_id"),
+      graft.core.Num.roundTo(cosine(col("qv"), col("cv")), 5).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs over one table: LSH buckets →
+    * exact cosine >= threshold. */
+  def cosineNearDuplicates(vectors: DataFrame, threshold: Double,
+                           planes: Int = 12, tables: Int = 4,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val signed = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(array((0 until tables).map(t =>
+        hyperplaneBucket(col(vecCol), planes, seed = 42L + t)): _*))
+        .as(Seq("table", "bucket")))
+    val a = signed.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = signed.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "v_a", "v_b").distinct()
+      .select(col("id_a"), col("id_b"), graft.core.Num.roundTo(cosine(col("v_a"), col("v_b")), 5).as("cosine"))
+      .filter(col("cosine") >= lit(threshold))
+  }
+}

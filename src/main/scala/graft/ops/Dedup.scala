@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for web-scale corpora: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. All are shuffle-frugal DataFrame pipelines:
+  * exact dedup is one hash groupBy; MinHash/LSH only ever joins on banded
+  * signature buckets (never all-pairs); SimHash is a single aggregation.
+  */
+object Dedup {
+
+  /** Exact duplicates on normalized text: every doc mapped to the smallest
+    * doc id sharing its fingerprint. One groupBy on the md5 fingerprint —
+    * map-side combine keeps hot fingerprints cheap. */
+  def exactCanonical(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+    val canon = fp.groupBy("fp").agg(min("id").as("canonical_id"))
+    fp.join(canon, "fp").select(col("id"), col("canonical_id"))
+  }
+
+  /** Word shingles (n-grams) of the normalized text as an array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(TextOps.normalize(text), " ")
+    when(size(words) < n, array(TextOps.normalize(text)))
+      .otherwise(transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: for permutation p in 0 until numHashes, the minimum
+    * of xxhash64(shingle, p) over the document's shingles. Pure expressions,
+    * one row per doc. */
+  def minHashSignature(docs: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val sh = shingles(col(textCol), shingleSize)
+    val sig = array((0 until numHashes).map { p =>
+      array_min(transform(sh, s => xxhash64(s, lit(p))))
+    }: _*)
+    docs.select(col(idCol).as("id"), sig.as("signature"))
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs: signatures are cut into
+    * `bands` bands of `numHashes/bands` rows; docs sharing any band bucket
+    * become candidates; candidates are verified by estimated Jaccard =
+    * fraction of agreeing minhashes >= `threshold`.
+    *
+    * Scale shape: the only join is an equi-join on (band index, band hash) —
+    * bucket sizes stay small for non-pathological corpora, so the all-pairs
+    * explosion never happens; AQE skew handling covers degenerate buckets
+    * (e.g. empty-text clusters).
+    */
+  def minHashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 32, bands: Int = 8,
+                            threshold: Double = 0.8,
+                            shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = minHashSignature(docs, idCol, textCol, numHashes, shingleSize).persist()
+    val banded = sigs.select(col("id"), col("signature"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(concat_ws(",", slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)))
+        }: _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("signature").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("signature").as("sig_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct()
+    val estJaccard = (aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v
+      ).cast("double") / lit(numHashes.toDouble)).as("est_jaccard")
+    val out = pairs.select(col("id_a"), col("id_b"), estJaccard)
+      .filter(col("est_jaccard") >= lit(threshold))
+    out
+  }
+
+  /** 64-bit SimHash of the word stream: bit b of the hash is set when the
+    * sum over tokens of (bit b of xxhash64(token) ? +1 : -1) is positive.
+    * One explode + one aggregation (64 codegen'd conditional sums). */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol).as("id"),
+        explode(split(TextOps.normalize(col(textCol)), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val agg = tokens.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L) * lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // bit 63 of 1L << 63 is the sign bit — fine: we only compare hashes.
+    agg.select(col("id"), hash.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs, banded like LSH: 4 bands of 16 bits; docs
+    * sharing any band join, verified by hamming distance <= maxHamming. */
+  def simHashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val sigs = simHash(docs, idCol, textCol).persist()
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map { b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("simhash").as("h_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hammingDistance(col("h_a"), col("h_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= lit(maxHamming))
+  }
+
+  /** Exact word-set Jaccard between given candidate pairs (explode + join —
+    * the portable-SQL formulation; shingle n-grams via `shingles` for n>1). */
+  def jaccardForPairs(docs: DataFrame, pairs: DataFrame,
+                      idCol: String, textCol: String, n: Int = 1): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("w"))
+      .distinct()
+    val sizes = words.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(words.select(col("id").as("id_a"), col("w")), "id_a")
+      .join(words.select(col("id").as("id_b"), col("w")), Seq("id_b", "w"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.core.Num.roundTo(col("inter").cast("double") /
+              (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines, all as
+  * pure column expressions (whole-stage codegen, no UDFs): token counting,
+  * quality scoring, n-gram language-ID heuristics, document fingerprinting.
+  *
+  * Each formula is deliberately expressible in portable SQL so results can be
+  * cross-checked against an independent engine (the DuckDB oracle in
+  * SparkEntry.oracleSql).
+  */
+object TextOps {
+
+  /** Whitespace token count; empty/blank text → 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Normalized text used for fingerprinting/dedup: lower-cased, whitespace
+    * collapsed, trimmed. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Deterministic document fingerprint: md5 of the normalized text
+    * (hex string — portable across engines). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** 64-bit fingerprint for joins/sketches (xxhash64 of normalized text). */
+  def fingerprint64(text: Column): Column = xxhash64(normalize(text))
+
+  /** Punctuation character ratio, 6-dp rounded; 0 for empty text. */
+  def punctRatio(text: Column): Column =
+    graft.core.Num.roundTo(when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") /
+                 length(text).cast("double")), 6)
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+  /** Number of English stopword occurrences (word-boundary matches). */
+  def stopwordCount(text: Column): Column =
+    Stopwords.map(w => size(regexp_extract_all(lower(text), lit("\\b" + w + "\\b"), lit(0))))
+      .reduce(_ + _)
+
+  /** Stopword density per token, 6-dp rounded. */
+  def stopwordRatio(text: Column): Column =
+    graft.core.Num.roundTo(when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(stopwordCount(text).cast("double") / tokenCount(text).cast("double")), 6)
+
+  /** Composite quality score in [0,1]: mean of (a) length score — tokens/256
+    * capped at 1, (b) inverse punctuation-excess score, (c) stopword presence
+    * score — stopwordRatio/0.4 capped at 1. A cheap, deterministic stand-in
+    * for the usual fasttext-style quality models; monotone in the features a
+    * web-text filter actually uses. */
+  def qualityScore(text: Column): Column = {
+    val lengthScore = least(tokenCount(text).cast("double") / lit(256.0), lit(1.0))
+    val punctScore  = greatest(lit(0.0), lit(1.0) - punctRatio(text) * lit(5.0))
+    val stopScore   = least(stopwordRatio(text) / lit(0.4), lit(1.0))
+    graft.core.Num.roundTo((lengthScore + punctScore + stopScore) / lit(3.0), 6)
+  }
+
+  /** Heuristic language ID: 'en' when ASCII-alpha dominated and stopword
+    * density clears a threshold; 'non_latin' when most chars are outside
+    * ASCII; otherwise 'latin_other'. Deterministic n-gram/stopword heuristic
+    * — a real model would plug in behind the same column contract. */
+  def langIdHeuristic(text: Column): Column = {
+    val total    = length(text).cast("double")
+    val asciiAlpha = length(regexp_replace(lower(text), "[^a-z ]", "")).cast("double")
+    val asciiShare = when(total === 0, lit(0.0)).otherwise(asciiAlpha / total)
+    when(total === 0, lit("unknown"))
+      .when(asciiShare < 0.5, lit("non_latin"))
+      .when(stopwordRatio(text) >= 0.08, lit("en"))
+      .otherwise(lit("latin_other"))
+  }
+}
