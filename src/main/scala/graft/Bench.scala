@@ -1,24 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.bench.ScalingBench
+
+/** Per-round benchmark main (driver contract): times every SparkEntry query
+  * on SPARK_GRAFT_SF_DIR and prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Extra keys (ignored by consumers that only read the contract fields)
+  * carry the north-rule primary metric: PageRank edges/sec/superstep on the
+  * deterministic synthetic web graph at two parallelism levels on the same
+  * input, plus the derived scaling efficiency (see BASELINE.md).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
     spark.stop()
+
+    // North-rule primary metric: same synthetic input at two parallelism
+    // levels (local[8] vs local[32]); disabled with SPARK_GRAFT_SCALING=0.
+    val scaling =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1") {
+        val nPages     = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "100000").toLong
+        val supersteps = 8
+        try {
+          val low   = ScalingBench.pageRankRun(8, nPages, supersteps)
+          val high  = ScalingBench.pageRankRun(cpus, nPages, supersteps)
+          val eff   = (low.secs / high.secs) / (cpus.toDouble / 8.0)
+          s""","pagerank_scaling":{"pages":$nPages,"edges":${low.edges},""" +
+            s""""supersteps":$supersteps,"cores_low":8,"secs_low":${"%.3f".format(low.secs)},""" +
+            s""""eps_low":${"%.0f".format(low.edgesPerSecPerSuperstep)},"cores_high":$cpus,""" +
+            s""""secs_high":${"%.3f".format(high.secs)},"eps_high":${"%.0f".format(high.edgesPerSecPerSuperstep)},""" +
+            s""""scaling_efficiency":${"%.3f".format(eff)}}"""
+        } catch { case _: Throwable => "" }
+      } else ""
+
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}""")
   }
 }

@@ -213,6 +213,18 @@ object SparkEntry {
       val spark = s; import spark.implicits._
       Seq(g).toDF("triangles")
     }),
+    "q_eigenvector" -> ((s, dir) => {
+      val r = Eigenvector.run(denseGraph(s, dir),
+        PageRankConfig(tolerance = 0.0, maxIterations = 6))
+      r.scores.select(col("id"), graft.core.Num.roundTo(col("score"), 6).as("score")).orderBy("id")
+    }),
+    "q_node_similarity" -> ((s, dir) => {
+      NodeSimilarity.run(ordersGraph(s, dir),
+        graft.algo.NodeSimilarityConfig(topK = 3))
+        .select(col("n1"), col("n2"),
+          graft.core.Num.roundTo(col("similarity"), 6).as("similarity"))
+        .orderBy("n1", "n2")
+    }),
     "q_lcc" -> ((s, dir) => {
       val (coeffs, _) = TriangleCount.localClusteringCoefficient(denseGraph(s, dir))
       coeffs.select(col("id"), graft.core.Num.roundTo(col("coefficient"), 6).as("coefficient")).orderBy("id")
@@ -333,6 +345,25 @@ object SparkEntry {
          |FROM nodes n LEFT JOIN cnt ON n.id = cnt.id LEFT JOIN deg ON n.id = deg.id
          |ORDER BY n.id""".stripMargin,
 
+    "q_eigenvector" -> eigenvectorSql(DenseEdgesSql, supersteps = 6),
+    "q_node_similarity" ->
+      s"""WITH edges AS ($OrdersEdgesSql),
+         |dedup AS (SELECT DISTINCT src, dst FROM edges),
+         |deg AS (SELECT src, count(*) AS d FROM dedup GROUP BY src HAVING count(*) >= 1),
+         |inter AS (
+         |  SELECT a.src AS n1, b.src AS n2, CAST(count(*) AS DOUBLE) AS i
+         |  FROM dedup a JOIN dedup b ON a.dst = b.dst AND a.src <> b.src
+         |  GROUP BY a.src, b.src),
+         |sims AS (
+         |  SELECT i.n1, i.n2, i.i / (d1.d + d2.d - i.i) AS sim
+         |  FROM inter i JOIN deg d1 ON i.n1 = d1.src JOIN deg d2 ON i.n2 = d2.src
+         |  WHERE i.i / (d1.d + d2.d - i.i) >= 1e-42),
+         |ranked AS (
+         |  SELECT n1, n2, sim,
+         |    row_number() OVER (PARTITION BY n1 ORDER BY sim DESC, n2 ASC) AS rk
+         |  FROM sims)
+         |SELECT n1, n2, floor(sim * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS similarity
+         |FROM ranked WHERE rk <= 3 ORDER BY n1, n2""".stripMargin,
     "q_subgraph_degree" ->
       """WITH nc AS (SELECT count(*) AS n FROM customer),
         |verts AS (SELECT c_custkey AS id, c_acctbal FROM customer WHERE c_acctbal > 1000),
@@ -402,6 +433,31 @@ object SparkEntry {
         |floor(sum(value) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
+
+  /** Eigenvector oracle: power iteration on (A+I) with per-superstep L2
+    * normalization as scalar subqueries, unrolled — mirrors
+    * graft.algo.Eigenvector (messages carry the UNNORMALIZED next value). */
+  private def eigenvectorSql(edgesSql: String, supersteps: Int): String = {
+    val steps = (1 until supersteps).map { k =>
+      val p = s"s${k - 1}"
+      s"""m$k AS (
+         |  SELECT e.dst AS id, sum(s.next) AS msum
+         |  FROM $p s JOIN edges e ON s.id = e.src GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT s.id, s.rank + COALESCE(m.msum, 0.0) AS next, s.rank
+         |  FROM $p s LEFT JOIN m$k m ON s.id = m.id),
+         |s$k AS (
+         |  SELECT id, next / (SELECT sqrt(sum(next * next)) FROM r$k) AS rank, next
+         |  FROM r$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |$NodesSql,
+       |n0 AS (SELECT id, 1.0 / (SELECT count(*) FROM nodes) AS next FROM nodes),
+       |s0 AS (SELECT id, next / (SELECT sqrt(sum(next * next)) FROM n0) AS rank, next FROM n0),
+       |$steps
+       |SELECT id, floor(rank * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS score
+       |FROM s${supersteps - 1} ORDER BY id""".stripMargin
+  }
 
   /** Quality-score oracle — must mirror TextOps.qualityScore bit-for-bit:
     * nested 6-dp rounds included. */

@@ -1,0 +1,90 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{GraphOps, PropertyGraph}
+import graft.pregel.{LoopConfig, SuperstepLoop}
+
+/** Eigenvector centrality — GDS-exact power iteration on (A + I) with
+  * per-iteration L2 normalization (reference: algo/src/main/java/org/neo4j/
+  * gds/pagerank/EigenvectorComputation.java:40-175):
+  *
+  *  - init rank = 1/|V| (personalized: 1/|sources| on sources, 0 elsewhere)
+  *  - superstep: next = normalizedRank + Σ messages; every node sends
+  *    next / weightedDegree (unweighted: /1 — degrees are NOT respected)
+  *  - masterCompute: rank = next / ||next||₂; converged when
+  *    max |rank - prevRank| <= tolerance (never on the initial superstep)
+  *  - messages carry the UNNORMALIZED next value (sends happen before the
+  *    master normalization step)
+  *
+  * One message shuffle plus one small L2 aggregation per superstep (the
+  * masterCompute analogue — a scalar collected on the driver).
+  */
+object Eigenvector {
+
+  def run(graph: PropertyGraph, cfg: PageRankConfig): PageRankResult = {
+    val spark = graph.edges.sparkSession
+    val parts = cfg.numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+
+    val vertices  = graph.vertices.select("id")
+    val nodeCount = vertices.count()
+    val edgesW    = GraphOps.withWeight(graph.edges)
+
+    // Weighted: message = next * weight / weightedDegree(src); unweighted: next.
+    val msgEdges = (if (cfg.weighted) {
+      val wdeg = edgesW.groupBy("src").agg(sum("weight").as("wdeg"))
+      edgesW.join(wdeg, "src").filter(col("wdeg") > 0.0)
+        .select(col("src"), col("dst"), (col("weight") / col("wdeg")).as("norm"))
+    } else {
+      edgesW.select(col("src"), col("dst"), lit(1.0).as("norm"))
+    }).repartition(parts, col("src")).persist()
+
+    val initValue =
+      if (cfg.sourceNodes.isEmpty) 1.0 / nodeCount else 1.0 / cfg.sourceNodes.size
+    val initCol =
+      if (cfg.sourceNodes.isEmpty) lit(initValue)
+      else when(col("id").isInCollection(cfg.sourceNodes), lit(initValue)).otherwise(lit(0.0))
+
+    // state_0 = after superstep 0 + master step: rank normalized, next raw.
+    val init0 = vertices.repartition(parts, col("id"))
+      .select(col("id"), initCol.as("next"))
+    val l2init = init0.agg(sqrt(sum(col("next") * col("next")))).first().getDouble(0)
+    val init = init0.select(col("id"),
+        (col("next") / lit(if (l2init == 0.0) 1.0 else l2init)).as("rank"),
+        col("next"), lit(true).as(SuperstepLoop.ActiveCol))
+
+    val loopCfg = LoopConfig(cfg.maxIterations - 1, cfg.checkpointDir, cfg.checkpointInterval)
+    // intermediate `raw` frames are persisted for the double-pass (L2 + next
+    // state) inside each superstep; unpersisted together after the loop
+    val persistedRaw = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val result = SuperstepLoop.run(init, loopCfg) { (state, _) =>
+      val inbox = state
+        .select(col("id").as("src"), col("next"))
+        .join(msgEdges, "src")
+        .select(col("dst").as("id"), (col("next") * col("norm")).as("msg"))
+        .groupBy("id").agg(sum("msg").as("msum"))
+      val raw = state.select("id", "rank")
+        .join(inbox, Seq("id"), "left")
+        .select(col("id"), col("rank"),
+          (col("rank") + coalesce(col("msum"), lit(0.0))).as("next"))
+        .persist()
+      persistedRaw += raw
+      val l2r = raw.agg(sqrt(sum(col("next") * col("next")))).first().getDouble(0)
+      val l2  = if (l2r == 0.0) 1.0 else l2r
+      val out = raw.select(col("id"), (col("next") / lit(l2)).as("newRank"),
+          col("next"), col("rank"))
+        .select(col("id"), col("newRank").as("rank"), col("next"),
+          (abs(col("newRank") - col("rank")) > lit(cfg.tolerance)).as(SuperstepLoop.ActiveCol))
+      out
+    }
+    msgEdges.unpersist(false)
+    persistedRaw.dropRight(1).foreach(_.unpersist(false))
+
+    val scores = Scaler.apply(cfg.scaler,
+      result.state.select(col("id"), col("rank").as("score")), "score")
+    PageRankResult(
+      scores,
+      if (result.didConverge) result.ranIterations else cfg.maxIterations,
+      result.didConverge)
+  }
+}

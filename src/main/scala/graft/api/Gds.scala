@@ -1,0 +1,142 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.algo._
+import graft.core._
+
+/** The reference's four execution modes (reference: doc/asciidoc/
+  * common-usage/running-algorihms.adoc; proc/common/src/main/java/org/neo4j/
+  * gds/{Stream,Stats,MutateProperty,Write}Proc.java):
+  *
+  *  - stream  → the result DataFrame itself
+  *  - stats   → one summary row with count + histogram percentiles
+  *             (p50/p75/p90/p95/p99/p999, min/max/mean — the reference's
+  *             AbstractCommunityResultBuilder histogram fields)
+  *  - mutate  → attach the result as a vertex property of the catalog graph
+  *  - write   → persist to a table directory (parquet, snapshot-committed)
+  */
+object Modes {
+
+  /** Percentile summary of `valueCol` — exact percentiles (the reference
+    * uses HdrHistogram approximations; exact is strictly stronger and
+    * identical on fixture scales). */
+  def stats(result: DataFrame, valueCol: String): Row = {
+    val v = col(valueCol).cast("double")
+    result.agg(
+      count(v).as("count"),
+      min(v).as("min"), max(v).as("max"), avg(v).as("mean"),
+      expr(s"percentile($valueCol, 0.5)").as("p50"),
+      expr(s"percentile($valueCol, 0.75)").as("p75"),
+      expr(s"percentile($valueCol, 0.9)").as("p90"),
+      expr(s"percentile($valueCol, 0.95)").as("p95"),
+      expr(s"percentile($valueCol, 0.99)").as("p99"),
+      expr(s"percentile($valueCol, 0.999)").as("p999")
+    ).first()
+  }
+
+  /** Community-stats variant: component/label sizes histogram. */
+  def communityStats(result: DataFrame, communityCol: String): Row = {
+    val sizes = result.groupBy(communityCol).agg(count(lit(1)).as("size"))
+    stats(sizes, "size")
+  }
+
+  def write(result: DataFrame, dir: String): Unit =
+    graft.io.SnapshotStore.commit(result, dir, Map("kind" -> "algo-result"))
+}
+
+/** User-facing session facade mirroring the reference's procedure surface
+  * as a Scala API: `gds.graph.create`, `gds.pageRank.stream`, ... */
+final class Gds(val spark: SparkSession) {
+  val catalog = new GraphCatalog
+
+  object graph {
+    def create(name: String, vertices: DataFrame, edges: DataFrame,
+               aggregation: EdgeAggregation = EdgeAggregation.None): PropertyGraph =
+      catalog.create(name, PropertyGraph(vertices, edges), aggregation)
+    def drop(name: String): Boolean  = catalog.drop(name)
+    def exists(name: String): Boolean = catalog.exists(name)
+    def list(): Seq[String]          = catalog.list()
+    def subgraph(name: String, newName: String,
+                 vertexPredicate: String = "true", edgePredicate: String = "true"): PropertyGraph =
+      catalog.create(newName, catalog.get(name).subgraph(vertexPredicate, edgePredicate))
+    def streamNodeProperties(name: String, properties: Seq[String]): DataFrame =
+      catalog.get(name).vertices.select("id", properties: _*)
+    def writeNodeProperties(name: String, dir: String, properties: Seq[String]): Unit =
+      Modes.write(catalog.get(name).vertices.select("id", properties: _*), dir)
+    def removeNodeProperty(name: String, property: String): PropertyGraph =
+      catalog.removeNodeProperty(name, property)
+  }
+
+  object pageRank {
+    def stream(name: String, cfg: PageRankConfig = PageRankConfig()): DataFrame =
+      PageRank.run(catalog.get(name), cfg).scores
+    def stats(name: String, cfg: PageRankConfig = PageRankConfig()): Row =
+      Modes.stats(stream(name, cfg), "score")
+    def mutate(name: String, property: String, cfg: PageRankConfig = PageRankConfig()): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name, cfg))
+    def write(name: String, dir: String, cfg: PageRankConfig = PageRankConfig()): Unit =
+      Modes.write(stream(name, cfg), dir)
+  }
+
+  object articleRank {
+    def stream(name: String, cfg: PageRankConfig = PageRankConfig()): DataFrame =
+      PageRank.articleRank(catalog.get(name), cfg).scores
+  }
+
+  object eigenvector {
+    def stream(name: String, cfg: PageRankConfig = PageRankConfig()): DataFrame =
+      Eigenvector.run(catalog.get(name), cfg).scores
+  }
+
+  object wcc {
+    def stream(name: String, cfg: WccConfig = WccConfig()): DataFrame =
+      Wcc.run(catalog.get(name), cfg).components
+    def stats(name: String, cfg: WccConfig = WccConfig()): Row =
+      Modes.communityStats(stream(name, cfg), "componentId")
+    def mutate(name: String, property: String, cfg: WccConfig = WccConfig()): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name, cfg))
+    def write(name: String, dir: String, cfg: WccConfig = WccConfig()): Unit =
+      Modes.write(stream(name, cfg), dir)
+  }
+
+  object labelPropagation {
+    def stream(name: String, cfg: LpConfig = LpConfig()): DataFrame =
+      LabelPropagation.run(catalog.get(name), cfg).labels
+    def stats(name: String, cfg: LpConfig = LpConfig()): Row =
+      Modes.communityStats(stream(name, cfg), "label")
+    def mutate(name: String, property: String, cfg: LpConfig = LpConfig()): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name, cfg))
+  }
+
+  object triangleCount {
+    def stream(name: String, cfg: TriangleCountConfig = TriangleCountConfig()): DataFrame =
+      TriangleCount.run(catalog.get(name), cfg).localTriangles
+    def stats(name: String, cfg: TriangleCountConfig = TriangleCountConfig()): (Long, Row) = {
+      val r = TriangleCount.run(catalog.get(name), cfg)
+      (r.globalTriangles, Modes.stats(r.localTriangles, "triangles"))
+    }
+    def mutate(name: String, property: String, cfg: TriangleCountConfig = TriangleCountConfig()): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name, cfg))
+  }
+
+  object localClusteringCoefficient {
+    def stream(name: String): DataFrame =
+      TriangleCount.localClusteringCoefficient(catalog.get(name))._1
+  }
+
+  object degree {
+    def stream(name: String, orientation: Orientation = Orientation.Natural,
+               weighted: Boolean = false): DataFrame =
+      DegreeCentrality.run(catalog.get(name), orientation, weighted)
+  }
+
+  object nodeSimilarity {
+    def stream(name: String, cfg: NodeSimilarityConfig = NodeSimilarityConfig()): DataFrame =
+      NodeSimilarity.run(catalog.get(name), cfg)
+  }
+}
+
+object Gds {
+  def apply(spark: SparkSession): Gds = new Gds(spark)
+}

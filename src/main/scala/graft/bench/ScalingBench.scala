@@ -1,0 +1,122 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.algo.{PageRank, PageRankConfig, Wcc, WccConfig, LabelPropagation, LpConfig, Schedule, TriangleCount}
+import graft.core.PropertyGraph
+import graft.io.Pages
+
+/** Two-parallelism-level scaling harness (BASELINE.md contract).
+  *
+  * The sandbox has no multi-executor cluster, so per the driver's
+  * instruction the north rule's N-vs-4N-executor criterion is evidenced by
+  * running the SAME job on the SAME input at two local parallelism levels
+  * (local[8] vs local[32]) and reporting throughput at both plus
+  * `scaling_efficiency = (T_low / T_high) / (cores_high / cores_low)`.
+  *
+  * Input: the deterministic seeded synthetic web graph (Pages.synth) —
+  * identical bytes at both levels. Metric: edges/sec per PageRank superstep
+  * (plus WCC/LP/triangle secondary numbers).
+  */
+object ScalingBench {
+
+  final case class RunStats(cores: Int, secs: Double, edges: Long, supersteps: Int) {
+    def edgesPerSecPerSuperstep: Double = edges.toDouble * supersteps / secs
+  }
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Build the bench graph: synthetic page corpus → extracted edge table,
+    * materialized (cached + counted) so algorithm timing excludes synthesis. */
+  private def benchGraph(spark: SparkSession, nPages: Long,
+                         density: Double): (PropertyGraph, Long) = {
+    val graph0 = Pages.toGraph(Pages.synth(spark, nPages, density = density))
+    val edges  = graph0.edges.persist()
+    val e      = edges.count()
+    val verts  = graph0.vertices.select("id").persist()
+    verts.count()
+    (PropertyGraph(verts, edges), e)
+  }
+
+  def pageRankRun(cores: Int, nPages: Long, supersteps: Int,
+                  density: Double = 8.0): RunStats = {
+    val spark = session(cores)
+    try {
+      val (graph, e) = benchGraph(spark, nPages, density)
+      // warm-up superstep machinery (JIT, codegen) on a tiny run
+      PageRank.run(graph, PageRankConfig(maxIterations = 2)).scores.count()
+      val t0 = System.nanoTime()
+      val r = PageRank.run(graph, PageRankConfig(tolerance = 0.0, maxIterations = supersteps))
+      r.scores.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      RunStats(cores, secs, e, supersteps)
+    } finally spark.stop()
+  }
+
+  /** Secondary metrics at one parallelism level. */
+  def secondaryRun(cores: Int, nPages: Long, density: Double = 8.0): Map[String, Double] = {
+    val spark = session(cores)
+    try {
+      val (graph, e) = benchGraph(spark, nPages, density)
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val wccT = time { Wcc.run(graph, WccConfig()).components.count() }
+      val lpT  = time { LabelPropagation.run(graph,
+        LpConfig(maxIterations = 5, schedule = Schedule.Sync)).labels.count() }
+      val tcT  = time { TriangleCount.run(graph) }
+      Map("edges" -> e.toDouble, "wcc_secs" -> wccT, "lp5_secs" -> lpT, "triangle_secs" -> tcT)
+    } finally spark.stop()
+  }
+
+  /** Iterations-to-tolerance on the bench graph (tolerance 1e-6 / 1e-7). */
+  def iterationsToTol(cores: Int, nPages: Long, density: Double = 8.0): (Int, Int) = {
+    val spark = session(cores)
+    try {
+      val (graph, _) = benchGraph(spark, nPages, density)
+      val a = PageRank.run(graph, PageRankConfig(tolerance = 1e-6, maxIterations = 150)).ranIterations
+      val b = PageRank.run(graph, PageRankConfig(tolerance = 1e-7, maxIterations = 150)).ranIterations
+      (a, b)
+    } finally spark.stop()
+  }
+
+  def jsonLine(nPages: Long, supersteps: Int, low: RunStats, high: RunStats,
+               iters: (Int, Int), secondary: Map[String, Double]): String = {
+    val eff = (low.secs / high.secs) / (high.cores.toDouble / low.cores)
+    val sec = secondary.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    s"""{"pages":$nPages,"edges":${low.edges},"supersteps":$supersteps,""" +
+      s""""cores_low":${low.cores},"secs_low":${"%.3f".format(low.secs)},""" +
+      s""""eps_low":${"%.0f".format(low.edgesPerSecPerSuperstep)},""" +
+      s""""cores_high":${high.cores},"secs_high":${"%.3f".format(high.secs)},""" +
+      s""""eps_high":${"%.0f".format(high.edgesPerSecPerSuperstep)},""" +
+      s""""scaling_efficiency":${"%.3f".format(eff)},""" +
+      s""""iters_to_1e6":${iters._1},"iters_to_1e7":${iters._2},$sec}"""
+  }
+
+  /** Usage: runMain graft.bench.ScalingBench [nPages] [density] [supersteps] [lowCores] [highCores] */
+  def main(args: Array[String]): Unit = {
+    val nPages     = if (args.length > 0) args(0).toLong else 200000L
+    val density    = if (args.length > 1) args(1).toDouble else 8.0
+    val supersteps = if (args.length > 2) args(2).toInt else 8
+    val lowCores   = if (args.length > 3) args(3).toInt else 8
+    val highCores  = if (args.length > 4) args(4).toInt else 32
+    val low  = pageRankRun(lowCores, nPages, supersteps, density)
+    val high = pageRankRun(highCores, nPages, supersteps, density)
+    // iteration count is a property of the standard (density 1) corpus;
+    // measured on a fixed 200k-page instance to keep wall time bounded
+    val iters = iterationsToTol(highCores, math.min(nPages, 200000L), density = 1.0)
+    val secondary = secondaryRun(highCores, nPages, density)
+    println("SCALING " + jsonLine(nPages, supersteps, low, high, iters, secondary))
+  }
+}

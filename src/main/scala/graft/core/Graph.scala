@@ -90,6 +90,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     val es = edges.filter(expr(edgePredicate))
       .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select(edges.columns.map(col): _*) // semi-joins reorder columns
     PropertyGraph(vs, es)
   }
 }

@@ -35,13 +35,16 @@ object Pages {
     */
   def synth(spark: SparkSession, n: Long, seed: Long = 42L,
             hosts: Long = 100L, maxDegree: Int = 1000,
-            hubCount: Int = 4, hubDegree: Int = 5000): DataFrame = {
+            hubCount: Int = 4, hubDegree: Int = 5000,
+            density: Double = 1.0): DataFrame = {
     val i    = col("id")
     val url  = concat(lit("https://host-"), pmod(i, lit(hosts)).cast("string"),
                       lit(".example/p/"), i.cast("string"))
     val h    = xxhash64(lit(seed), i)
-    // power-law out-degree; first hubCount pages are forced hubs (skew)
-    val dRaw = floor(pow(unit(h), lit(-1.0 / 2.1))).cast("int")
+    // power-law out-degree (mean ~1.9·density links/page; density scales the
+    // whole distribution for throughput benchmarking); first hubCount pages
+    // are forced hubs (skew)
+    val dRaw = floor(lit(density) * pow(unit(h), lit(-1.0 / 2.1))).cast("int")
     val deg  = when(i < lit(hubCount.toLong), lit(math.min(hubDegree, (n - 1).toInt)))
       .otherwise(least(dRaw, lit(maxDegree)))
     val targetId  = (k: org.apache.spark.sql.Column) => pmod(xxhash64(lit(seed), i, k), lit(n))

@@ -1,6 +1,6 @@
 package graft.pregel
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftSqlCompat, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.io.SnapshotStore
@@ -18,17 +18,25 @@ import graft.io.SnapshotStore
   *                           can resume from the latest committed snapshot.
   * @param checkpointInterval snapshot cadence (1 = every iteration, the
   *                           north-rule default).
-  * @param truncateInterval   without a checkpointDir, lineage is cut via
-  *                           localCheckpoint every this many iterations —
-  *                           mandatory for iterative DataFrame jobs or the
-  *                           logical plan grows super-linearly per superstep
-  *                           (SURVEY.md §4 item 1).
+  * @param truncateInterval   RDD-lineage cut cadence via localCheckpoint when
+  *                           no durable checkpointing is active. (The LOGICAL
+  *                           plan is already truncated every iteration at
+  *                           zero cost — see [[GraftSqlCompat.truncatePlan]]
+  *                           — but task closures serialize the physical RDD
+  *                           chain, which must be cut periodically too.)
+  * @param disableAqeInLoop   adaptive execution re-plans every tiny superstep
+  *                           stage and multiplies fixed per-iteration latency
+  *                           ~5x (measured); the loop turns AQE off for its
+  *                           own jobs and restores the previous setting after.
+  *                           Skew inside a superstep is handled by the salted
+  *                           partitioning of the edge tables instead.
   */
 final case class LoopConfig(
   maxSteps: Int,
   checkpointDir: Option[String] = None,
   checkpointInterval: Int = 1,
-  truncateInterval: Int = 6,
+  truncateInterval: Int = 8,
+  disableAqeInLoop: Boolean = true,
   storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
 
 final case class IterationMetrics(iteration: Int, activeCount: Long, wallMs: Long)
@@ -47,8 +55,9 @@ final case class LoopResult(
   * one `step(state, i)` call (typically: filter active → join edges → shuffle
   * agg → join back). Convergence = no active rows, mirroring the reference's
   * "no messages sent AND all voted to halt". The driver owns persistence,
-  * lineage truncation, durable per-iteration checkpoints and resume — the
-  * pieces the single-JVM reference never needed (SURVEY.md §2.7).
+  * per-iteration logical-plan truncation, periodic RDD-lineage cuts, durable
+  * per-iteration checkpoints and resume — the pieces the single-JVM
+  * reference never needed (SURVEY.md §2.7).
   *
   * Shuffle discipline: the driver never repartitions state; each step is
   * expected to produce state hash-partitioned by id (the natural output of
@@ -59,9 +68,13 @@ object SuperstepLoop {
 
   val ActiveCol = "_active"
 
+  private val Verbose = sys.env.get("GRAFT_LOOP_VERBOSE").contains("1")
+
   def run(init: DataFrame, cfg: LoopConfig)
          (step: (DataFrame, Int) => DataFrame): LoopResult =
-    loop(init.sparkSession, init, 0, Seq.empty, cfg)(step)
+    withLoopConf(init.sparkSession, cfg) {
+      loop(init.sparkSession, init, 0, Seq.empty, cfg)(step)
+    }
 
   /** Resume from the latest durable snapshot under `cfg.checkpointDir`.
     * Falls back to `init` (fresh run) when no snapshot exists. The final
@@ -79,15 +92,28 @@ object SuperstepLoop {
         val state  = spark.read.parquet(snap.dataPath)
         if (active == 0L || iter >= cfg.maxSteps)
           LoopResult(state, iter, active == 0L, Seq.empty)
-        else loop(spark, state, iter, Seq.empty, cfg)(step)
+        else withLoopConf(spark, cfg) {
+          loop(spark, state, iter, Seq.empty, cfg)(step)
+        }
     }
+  }
+
+  /** Temporarily disable AQE for the loop's jobs (restores prior value). */
+  private def withLoopConf[A](spark: SparkSession, cfg: LoopConfig)(body: => A): A = {
+    val key  = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    if (cfg.disableAqeInLoop) spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
   }
 
   private def loop(spark: SparkSession, init: DataFrame, startIter: Int,
                    history0: Seq[IterationMetrics], cfg: LoopConfig)
                   (step: (DataFrame, Int) => DataFrame): LoopResult = {
-    var state   = init.persist(cfg.storageLevel)
-    var active  = state.filter(col(ActiveCol)).count()
+    // `cached` is the handle holding storage; `state` is the plan-truncated
+    // view handed to the next superstep.
+    var cached  = init.persist(cfg.storageLevel)
+    var active  = cached.filter(col(ActiveCol)).count()
+    var state   = GraftSqlCompat.truncatePlan(cached)
     var history = history0
     var iter    = startIter
     var converged = active == 0L
@@ -100,26 +126,32 @@ object SuperstepLoop {
       val wall = (System.nanoTime() - t0) / 1000000L
       history :+= IterationMetrics(iter, active, wall)
       converged = active == 0L
+      if (Verbose) System.err.println(s"[loop] iter=$iter active=$active wallMs=$wall")
 
-      val prev = state
-      state = cfg.checkpointDir match {
+      val prevCached = cached
+      cfg.checkpointDir match {
         case Some(dir) if iter % cfg.checkpointInterval == 0 || converged =>
           // Durable snapshot: per-partition parquet + convergence metrics in
-          // the manifest; reading it back also truncates lineage.
+          // the manifest; reading it back also truncates all lineage.
           val snap = SnapshotStore.commit(next, dir, Map(
             "iteration"   -> iter.toString,
             "activeCount" -> active.toString,
             "wallMs"      -> wall.toString,
             "partitions"  -> next.rdd.getNumPartitions.toString))
           next.unpersist(false)
-          spark.read.parquet(snap.dataPath).persist(cfg.storageLevel)
+          cached = spark.read.parquet(snap.dataPath).persist(cfg.storageLevel)
+          state  = cached
         case _ if iter % cfg.truncateInterval == 0 =>
+          // periodic hard cut of the physical RDD chain
           val cut = next.localCheckpoint(true)
           next.unpersist(false)
-          cut
-        case _ => next
+          cached = cut
+          state  = cut
+        case _ =>
+          cached = next
+          state  = GraftSqlCompat.truncatePlan(next)
       }
-      prev.unpersist(false)
+      prevCached.unpersist(false)
     }
     LoopResult(state, iter, converged, history)
   }

@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.api.{Gds, Modes}
+import graft.core.{EdgeAggregation, Orientation}
+import graft.functions.Similarity
+import graft.io.CsvGraphStore
+import java.nio.file.Files
+
+/** Catalog + execution modes + functions + export/import surface. */
+class GdsApiSpec extends AnyFunSuite with SparkTestBase {
+
+  lazy val gds = Gds(spark)
+
+  test("catalog create/list/exists/drop + mutate chaining") {
+    val g = graphOf(10, Seq(0L -> 1L, 1L -> 2L, 3L -> 4L))
+    gds.graph.create("g1", g.vertices, g.edges)
+    assert(gds.graph.exists("g1") && gds.graph.list().contains("g1"))
+    val mutated = gds.wcc.mutate("g1", "component")
+    assert(mutated.vertices.columns.contains("component"))
+    // chain: degree on the mutated graph still works
+    assert(gds.degree.stream("g1").count() == 10)
+    gds.graph.removeNodeProperty("g1", "component")
+    assert(!gds.catalog.get("g1").vertices.columns.contains("component"))
+    assert(gds.graph.drop("g1") && !gds.graph.exists("g1"))
+  }
+
+  test("parallel-edge aggregation modes") {
+    import spark.implicits._
+    val vs = spark.range(3).toDF("id")
+    val es = Seq((0L, 1L, 2.0), (0L, 1L, 3.0), (1L, 2L, 1.0)).toDF("src", "dst", "weight")
+    val g = gds.graph.create("agg", vs, es, EdgeAggregation.Sum)
+    val w = g.edges.filter(col("src") === 0).select("weight").first().getDouble(0)
+    assert(w == 5.0 && g.edges.count() == 2)
+    gds.graph.drop("agg")
+  }
+
+  test("stats mode returns GDS-style percentile summary") {
+    val g = graphOf(6, Seq(0L -> 1L, 1L -> 2L, 3L -> 4L))
+    gds.graph.create("g2", g.vertices, g.edges)
+    val row = gds.wcc.stats("g2")
+    // components {0,1,2},{3,4},{5} -> sizes 3,2,1
+    assert(row.getAs[Long]("count") == 3)
+    assert(row.getAs[Double]("max") == 3.0)
+    assert(row.getAs[Double]("mean") == 2.0)
+    gds.graph.drop("g2")
+  }
+
+  test("subgraph by Catalyst predicate") {
+    import spark.implicits._
+    val vs = Seq((0L, 10.0), (1L, 5.0), (2L, 20.0)).toDF("id", "score")
+    val es = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    gds.graph.create("g3", vs, es)
+    val sub = gds.graph.subgraph("g3", "g3sub", vertexPredicate = "score >= 10")
+    assert(sub.vertices.count() == 2)
+    assert(sub.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 2L)))
+    gds.graph.drop("g3"); gds.graph.drop("g3sub")
+  }
+
+  test("similarity functions match closed forms") {
+    import spark.implicits._
+    val df = Seq((Array(1L, 2L, 3L), Array(2L, 3L, 4L),
+                  Array(1.0, 0.0), Array(0.0, 1.0))).toDF("a", "b", "va", "vb")
+    val r = df.select(
+      Similarity.jaccard(col("a"), col("b")).as("j"),
+      Similarity.overlap(col("a"), col("b")).as("o"),
+      Similarity.cosine(col("va"), col("vb")).as("c"),
+      Similarity.euclideanDistance(col("va"), col("vb")).as("e"),
+      Similarity.commonNeighbors(col("a"), col("b")).as("cn")).first()
+    assert(r.getDouble(0) == 0.5)     // |{2,3}| / |{1,2,3,4}|
+    assert(r.getDouble(1) == 2 / 3.0)
+    assert(r.getDouble(2) == 0.0)
+    assert(math.abs(r.getDouble(3) - math.sqrt(2)) < 1e-12)
+    assert(r.getDouble(4) == 2.0)
+  }
+
+  test("pearson on correlated vectors") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(2.0, 4.0, 6.0),
+                  Array(3.0, 2.0, 1.0))).toDF("a", "b", "c")
+    val r = df.select(Similarity.pearson(col("a"), col("b")).as("p1"),
+      Similarity.pearson(col("a"), col("c")).as("p2")).first()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-12)
+  }
+
+  test("csv export/import round-trips the graph with exact schema") {
+    val g = weightedGraphOf(5, Seq((0L, 1L, 2.5), (1L, 2L, 1.0)))
+    val dir = Files.createTempDirectory("graft-csv").toString
+    CsvGraphStore.export(g, dir)
+    val back = CsvGraphStore.importGraph(spark, dir)
+    def shape(s: org.apache.spark.sql.types.StructType) = s.map(f => (f.name, f.dataType))
+    assert(shape(back.vertices.schema) == shape(g.vertices.schema))
+    assert(shape(back.edges.schema) == shape(g.edges.schema))
+    assert(back.edges.exceptAll(g.edges).isEmpty && g.edges.exceptAll(back.edges).isEmpty)
+  }
+
+  test("snapshot export/import round-trips") {
+    val g = graphOf(4, Seq(0L -> 1L))
+    val dir = Files.createTempDirectory("graft-snapexp").toString
+    CsvGraphStore.exportSnapshot(g, dir)
+    val back = CsvGraphStore.importSnapshot(spark, dir)
+    assert(back.vertices.count() == 4 && back.edges.count() == 1)
+  }
+
+  test("orientation views: reverse and undirected degrees") {
+    val g = graphOf(3, Seq(0L -> 1L, 0L -> 2L))
+    val natural = collectMap(g.degrees(Orientation.Natural), "id", "degree")
+    val reverse = collectMap(g.degrees(Orientation.Reverse), "id", "degree")
+    val undirected = collectMap(g.degrees(Orientation.Undirected), "id", "degree")
+    assert(natural == Map(0L -> 2.0, 1L -> 0.0, 2L -> 0.0))
+    assert(reverse == Map(0L -> 0.0, 1L -> 1.0, 2L -> 1.0))
+    assert(undirected == Map(0L -> 2.0, 1L -> 1.0, 2L -> 1.0))
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Training-data pipeline operators: dedup, text analysis, ANN, multimodal
+  * plumbing, sessionization (incl. the Structured Streaming variant). */
+class OpsSpec extends AnyFunSuite with SparkTestBase {
+  import scala.jdk.CollectionConverters._
+
+  def docs(rows: (Long, String)*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("exact dedup maps duplicates to the smallest doc id") {
+    val d = docs(1L -> "Hello  World", 2L -> "other text", 3L -> "hello world",
+      4L -> "HELLO WORLD ")
+    val canon = Dedup.exactCanonical(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("minhash-LSH finds planted near-duplicates, not unrelated docs") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val near = (1 to 57).map(i => s"token$i").mkString(" ") + " tokenX tokenY tokenZ"
+    val far  = (1 to 60).map(i => s"other$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> near, 3L -> far)
+    val pairs = Dedup.minHashNearDuplicates(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("simhash: near-identical docs within small hamming distance") {
+    val base = (1 to 100).map(i => s"w$i").mkString(" ")
+    val near = (1 to 98).map(i => s"w$i").mkString(" ") + " zzz"
+    val far  = (1 to 100).map(i => s"q$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> near, 3L -> far)
+    val h = Dedup.simHash(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) < 8, s"near pair hamming ${ham(h(1L), h(2L))}")
+    assert(ham(h(1L), h(3L)) > 15, s"far pair hamming ${ham(h(1L), h(3L))}")
+  }
+
+  test("word-set jaccard for pairs") {
+    val d = docs(1L -> "a b c d", 2L -> "a b c e", 3L -> "x y")
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardForPairs(d, pairs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 0.6)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("token count / quality / langid column functions") {
+    val d = docs(
+      1L -> "the cat sat on the mat and it is a good mat for cats to sit on",
+      2L -> "", 3L -> "xyz")
+    val r = d.select(col("doc_id"), TextOps.tokenCount(col("text")).as("t"),
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.langIdHeuristic(col("text")).as("l"))
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getDouble(2), x.getString(3)))).toMap
+    assert(r(1L)._1 == 17)
+    assert(r(1L)._3 == "en")
+    assert(r(2L) == ((0, 0.333333, "unknown")))
+    assert(r(3L)._1 == 1)
+  }
+
+  test("brute-force ANN top-k is exact and deterministic") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(top.toSeq == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("LSH top-k finds the exact nearest neighbor for clustered vectors") {
+    import spark.implicits._
+    val vecs = (0 until 50).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.tabulate(8)(d => base * (1.0f + 0.01f * ((i * 7 + d) % 5))))
+    }.toDF("vec_id", "embedding")
+    val exact = Ann.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 1)
+      .collect().head.getLong(1)
+    val lsh = Ann.lshTopK(vecs.filter(col("vec_id") === 0), vecs, k = 1,
+      planes = 4, tables = 4).collect().headOption.map(_.getLong(1))
+    assert(lsh.contains(exact), s"lsh=$lsh exact=$exact")
+  }
+
+  test("multimodal plumbing: decode + features + frame sampling") {
+    val media = Multimodal.synthMedia(spark, 30).persist()
+    val dec = Multimodal.extractFeatures(Multimodal.decodeImages(media))
+    val rows = dec.collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_.getAs[Seq[Float]]("embedding").length == 64))
+    assert(rows.forall(r => r.getAs[Int]("width") > 0 && r.getAs[Int]("height") > 0))
+    // determinism (byte arrays toString unstably — compare embeddings by id)
+    def embs(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getAs[Long]("media_id") -> r.getAs[Seq[Float]]("embedding")).toMap
+    val again = Multimodal.extractFeatures(Multimodal.decodeImages(media)).collect()
+    assert(embs(rows) == embs(again))
+    val frames = Multimodal.sampleFrames(media, framesPerItem = 3)
+    val perVideo = frames.groupBy("media_id").count().collect().map(_.getLong(1))
+    assert(perVideo.nonEmpty && perVideo.forall(_ == 3))
+  }
+
+  test("sessionize splits on the gap and aggregates values") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+    val events = Seq(
+      (1L, ts(0), 7L, "c", 1.0, ""), (2L, ts(60), 7L, "c", 2.0, ""),
+      (3L, ts(60 + 1801 + 60), 7L, "c", 3.0, ""),
+      (4L, ts(10), 9L, "v", 5.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sessions = Events.sessionize(events, gapSeconds = 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sessions == Map((7L, 1L) -> 2L, (7L, 2L) -> 1L, (9L, 1L) -> 1L))
+  }
+
+  test("windowed counts work as a structured stream (memory sink)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+    Seq((1L, ts(0), 7L, "c", 1.0, ""), (2L, ts(7200), 7L, "c", 2.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = Events.windowedCountsStream(stream, "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory").queryName("winout").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("SELECT * FROM winout ORDER BY window_start").collect()
+    assert(out.length == 2 && out.forall(_.getLong(2) == 1L))
+  }
+}
