@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.algo._
+import graft.algo.{Hits, HitsConfig, K1Coloring, Paths}
 import graft.core.{GraphOps, PropertyGraph}
 import graft.ops.{Ann, Dedup, Events, Multimodal, TextOps}
 
@@ -225,6 +226,40 @@ object SparkEntry {
           graft.core.Num.roundTo(col("similarity"), 6).as("similarity"))
         .orderBy("n1", "n2")
     }),
+    "q_bfs" -> ((s, dir) =>
+      Paths.bfs(denseGraph(s, dir), source = 0L).orderBy("id")),
+    "q_sssp" -> ((s, dir) => {
+      val g = denseGraph(s, dir)
+      val weighted = g.copy(edges = g.edges
+        .withColumn("weight", (pmod(col("src") * 31 + col("dst"), lit(5)) + 1).cast("double")))
+      Paths.sssp(weighted, source = 0L)
+        .select(col("id"), graft.core.Num.roundTo(col("dist"), 6).as("dist")).orderBy("id")
+    }),
+    "q_collapse_path" -> ((s, dir) => {
+      val e = denseGraph(s, dir).edges
+      Paths.collapsePath(Seq(e, e)).orderBy("src", "dst")
+    }),
+    "q_hits" -> ((s, dir) =>
+      Hits.run(denseGraph(s, dir), HitsConfig(maxIterations = 5))
+        .select(col("id"), graft.core.Num.roundTo(col("hub"), 6).as("hub"),
+          graft.core.Num.roundTo(col("auth"), 6).as("auth")).orderBy("id")),
+    "q_k1coloring_valid" -> ((s, dir) => {
+      // validity projection: number of monochromatic edges must be 0
+      val g = denseGraph(s, dir)
+      val colors = K1Coloring.run(g)
+      val und = graft.core.GraphOps.canonicalUndirected(g.edges)
+      val conflicts = und
+        .join(colors.select(col("id").as("lo"), col("color").as("c1")), "lo")
+        .join(colors.select(col("id").as("hi"), col("color").as("c2")), "hi")
+        .filter(col("c1") === col("c2")).count()
+      val spark = s; import spark.implicits._
+      Seq(conflicts).toDF("monochromatic_edges")
+    }),
+    "q_random_walks" -> ((s, dir) =>
+      Paths.randomWalks(denseGraph(s, dir), steps = 4, walksPerNode = 1)
+        .groupBy("step").agg(count(lit(1)).as("walks"),
+          countDistinct(col("nodeId")).as("distinct_nodes"))
+        .orderBy("step")),
     "q_lcc" -> ((s, dir) => {
       val (coeffs, _) = TriangleCount.localClusteringCoefficient(denseGraph(s, dir))
       coeffs.select(col("id"), graft.core.Num.roundTo(col("coefficient"), 6).as("coefficient")).orderBy("id")
@@ -364,6 +399,15 @@ object SparkEntry {
          |  FROM sims)
          |SELECT n1, n2, floor(sim * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS similarity
          |FROM ranked WHERE rk <= 3 ORDER BY n1, n2""".stripMargin,
+    "q_bfs" -> bfsSql(DenseEdgesSql, maxDepth = 20),
+    "q_sssp" -> ssspSql(
+      DenseEdgesSql.replace(" FROM orders", ", CAST((o_orderkey % 300) * 31 + ((o_orderkey * 7 + o_custkey) % 300) AS BIGINT) AS wseed FROM orders"),
+      rounds = 14),
+    "q_collapse_path" ->
+      s"""WITH edges AS ($DenseEdgesSql)
+         |SELECT DISTINCT a.src, b.dst FROM edges a JOIN edges b ON a.dst = b.src
+         |WHERE a.src <> b.dst ORDER BY a.src, b.dst""".stripMargin,
+    "q_k1coloring_valid" -> "SELECT CAST(0 AS BIGINT) AS monochromatic_edges",
     "q_subgraph_degree" ->
       """WITH nc AS (SELECT count(*) AS n FROM customer),
         |verts AS (SELECT c_custkey AS id, c_acctbal FROM customer WHERE c_acctbal > 1000),
@@ -433,6 +477,42 @@ object SparkEntry {
         |floor(sum(value) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
+
+  /** BFS oracle: unrolled frontier relaxation (same structure as wccSql,
+    * single-reference chain via self-loop edges carrying own distance). */
+  private def bfsSql(edgesSql: String, maxDepth: Int): String = {
+    val steps = (1 to maxDepth).map { k =>
+      s"""d$k AS (
+         |  SELECT u.dst AS id, min(s.dist + u.w) AS dist
+         |  FROM undx u JOIN d${k - 1} s ON s.id = u.src GROUP BY u.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |$NodesSql,
+       |undx AS (SELECT src, dst, 1 AS w FROM edges
+       |         UNION SELECT id, id, 0 FROM nodes),
+       |d0 AS (SELECT id, CASE WHEN id = 0 THEN 0 ELSE 1000000000 END AS dist FROM nodes),
+       |$steps
+       |SELECT id, CAST(dist AS BIGINT) AS dist FROM d$maxDepth
+       |WHERE dist < 1000000000 ORDER BY id""".stripMargin
+  }
+
+  /** SSSP oracle: like bfsSql with per-edge weights (weight derived in the
+    * edges SQL as `wseed % 5 + 1`). */
+  private def ssspSql(edgesSql: String, rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""d$k AS (
+         |  SELECT u.dst AS id, min(s.dist + u.w) AS dist
+         |  FROM undx u JOIN d${k - 1} s ON s.id = u.src GROUP BY u.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |$NodesSql,
+       |undx AS (SELECT src, dst, CAST(wseed % 5 + 1 AS DOUBLE) AS w FROM edges
+       |         UNION SELECT id, id, 0.0 FROM nodes),
+       |d0 AS (SELECT id, CASE WHEN id = 0 THEN 0.0 ELSE 1e18 END AS dist FROM nodes),
+       |$steps
+       |SELECT id, floor(dist * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS dist FROM d$rounds
+       |WHERE dist < 1e18 ORDER BY id""".stripMargin
+  }
 
   /** Eigenvector oracle: power iteration on (A+I) with per-superstep L2
     * normalization as scalar subqueries, unrolled — mirrors

@@ -1,0 +1,140 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{GraphOps, Orientation, PropertyGraph}
+import graft.pregel.{LoopConfig, SuperstepLoop}
+
+/** Path / traversal algorithms (reference inventory SURVEY.md §2.3):
+  * BFS (`gds.alpha.bfs`), SSSP as parallel iterative relaxation — the Spark
+  * idiom for the reference's delta-stepping (`gds.alpha.shortestPath.
+  * deltaStepping`, alpha/alpha-algo/impl/ShortestPathDeltaStepping.java) —
+  * and collapsePath (`gds.alpha.collapsePath.mutate`,
+  * alpha/alpha-algo/impl/walking/CollapsePath.java).
+  *
+  * All frontier-based: each round only vertices improved last round
+  * propagate, so rounds shrink with the frontier; one shuffle per round.
+  */
+object Paths {
+
+  /** BFS levels from `source` (unweighted hops). Returns (id, distance) for
+    * reached vertices. maxDepth bounds the rounds. */
+  def bfs(graph: PropertyGraph, source: Long,
+          orientation: Orientation = Orientation.Natural,
+          maxDepth: Int = 100): DataFrame = {
+    val spark = graph.edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val edges = graph.orientedEdges(orientation).select("src", "dst")
+      .repartition(parts, col("src")).persist()
+
+    val init = graph.vertices.select("id")
+      .repartition(parts, col("id"))
+      .select(col("id"),
+        when(col("id") === source, lit(0L)).otherwise(lit(Long.MaxValue)).as("dist"),
+        (col("id") === source).as(SuperstepLoop.ActiveCol))
+
+    val result = SuperstepLoop.run(init, LoopConfig(maxDepth)) { (state, _) =>
+      val candidates = state.filter(col(SuperstepLoop.ActiveCol))
+        .select(col("id").as("src"), col("dist"))
+        .join(edges, "src")
+        .select(col("dst").as("id"), (col("dist") + 1L).as("cand"))
+        .groupBy("id").agg(min("cand").as("cand"))
+      state.select("id", "dist").join(candidates, Seq("id"), "left")
+        .select(col("id"), least(col("dist"), coalesce(col("cand"), col("dist"))).as("dist"),
+          (coalesce(col("cand"), lit(Long.MaxValue)) < col("dist")).as(SuperstepLoop.ActiveCol))
+    }
+    edges.unpersist(false)
+    result.state.filter(col("dist") =!= Long.MaxValue).select("id", "dist")
+  }
+
+  /** Single-source shortest paths over non-negative weights: parallel
+    * Bellman-Ford-style relaxation with a frontier — the shuffle-native
+    * equivalent of delta-stepping's bucketed relaxation (every round relaxes
+    * the whole improved frontier; rounds <= longest shortest-path hop
+    * count). Returns (id, distance). */
+  def sssp(graph: PropertyGraph, source: Long,
+           orientation: Orientation = Orientation.Natural,
+           maxRounds: Int = 200): DataFrame = {
+    val spark = graph.edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val edges = GraphOps.withWeight(graph.orientedEdges(orientation))
+      .select("src", "dst", "weight")
+      .repartition(parts, col("src")).persist()
+
+    val inf = Double.PositiveInfinity
+    val init = graph.vertices.select("id")
+      .repartition(parts, col("id"))
+      .select(col("id"),
+        when(col("id") === source, lit(0.0)).otherwise(lit(inf)).as("dist"),
+        (col("id") === source).as(SuperstepLoop.ActiveCol))
+
+    val result = SuperstepLoop.run(init, LoopConfig(maxRounds)) { (state, _) =>
+      val candidates = state.filter(col(SuperstepLoop.ActiveCol))
+        .select(col("id").as("src"), col("dist"))
+        .join(edges, "src")
+        .select(col("dst").as("id"), (col("dist") + col("weight")).as("cand"))
+        .groupBy("id").agg(min("cand").as("cand"))
+      state.select("id", "dist").join(candidates, Seq("id"), "left")
+        .select(col("id"), least(col("dist"), coalesce(col("cand"), col("dist"))).as("dist"),
+          (coalesce(col("cand"), lit(inf)) < col("dist")).as(SuperstepLoop.ActiveCol))
+    }
+    edges.unpersist(false)
+    result.state.filter(!col("dist").isNaN && col("dist") =!= inf).select("id", "dist")
+  }
+
+  /** Collapse fixed-length paths over the given relationship chain into
+    * direct edges: path a -e1-> x -e2-> b becomes a->b. `hops` chained
+    * equi-joins, exactly the reference's CollapsePath semantics (distinct
+    * pairs, self-paths kept unless dropSelf). */
+  def collapsePath(edgeChain: Seq[DataFrame], dropSelf: Boolean = true): DataFrame = {
+    require(edgeChain.nonEmpty)
+    val collapsed = edgeChain.zipWithIndex
+      .map { case (df, i) => df.select(col("src").as(s"n$i"), col("dst").as(s"n${i + 1}")) }
+      .reduceLeft { (acc, next) =>
+        val k = acc.columns.last
+        acc.join(next, k)
+      }
+    val last = s"n${edgeChain.size}"
+    val out = collapsed.select(col("n0").as("src"), col(last).as("dst")).distinct()
+    if (dropSelf) out.filter(col("src") =!= col("dst")) else out
+  }
+
+  /** Deterministic seeded random walks (`gds.alpha.randomWalk.stream`,
+    * node2vec-style uniform steps): `walksPerNode` walks of length `steps`
+    * from every vertex; the step choice is a pure function of
+    * (walkId, stepIndex, seed) — bit-identical across runs/parallelism.
+    * Returns (walkId, startId, step, nodeId). Walks ending at a sink stop. */
+  def randomWalks(graph: PropertyGraph, steps: Int, walksPerNode: Int = 1,
+                  seed: Long = 42L): DataFrame = {
+    val spark = graph.edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // adjacency arrays once; walk step = indexed lookup by hashed position
+    val adj = graph.edges.groupBy(col("src").as("id"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .repartition(parts, col("id"))
+      .persist()
+
+    var walks = graph.vertices.select("id")
+      .crossJoin(spark.range(walksPerNode).select(col("id").as("w")))
+      .select(concat_ws("_", col("id"), col("w")).as("walkId"),
+        col("id").as("startId"), lit(0).as("step"), col("id").as("nodeId"))
+      .persist()
+    var out = walks
+
+    for (s <- 1 to steps) {
+      val next = walks
+        .join(adj, walks("nodeId") === adj("id"))
+        .select(col("walkId"), col("startId"), lit(s).as("step"),
+          element_at(col("nbrs"),
+            (pmod(xxhash64(col("walkId"), lit(s), lit(seed)), size(col("nbrs"))) + 1)
+              .cast("int")).as("nodeId"))
+        .persist()
+      next.count()
+      walks.unpersist(false)
+      walks = next
+      out = out.unionByName(next)
+    }
+    adj.unpersist(false)
+    out
+  }
+}

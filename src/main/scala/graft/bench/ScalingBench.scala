@@ -25,6 +25,7 @@ object ScalingBench {
   }
 
   private def session(cores: Int): SparkSession = {
+    val localDir = sys.env.getOrElse("GRAFT_BENCH_LOCAL_DIR", "/dev/shm/spark-local")
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
@@ -32,19 +33,22 @@ object ScalingBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffle spill on tmpfs: benchmark supersteps are shuffle-latency
+      // bound on slow block devices otherwise
+      .config("spark.local.dir", localDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
 
-  /** Build the bench graph: synthetic page corpus → extracted edge table,
+  /** Build the bench graph: the synthetic corpus link structure as an edge
+    * table (identical to html extraction — see Pages.synthEdges),
     * materialized (cached + counted) so algorithm timing excludes synthesis. */
   private def benchGraph(spark: SparkSession, nPages: Long,
                          density: Double): (PropertyGraph, Long) = {
-    val graph0 = Pages.toGraph(Pages.synth(spark, nPages, density = density))
-    val edges  = graph0.edges.persist()
-    val e      = edges.count()
-    val verts  = graph0.vertices.select("id").persist()
+    val edges = Pages.synthEdges(spark, nPages, density = density).persist()
+    val e     = edges.count()
+    val verts = graft.core.GraphOps.verticesOf(edges).persist()
     verts.count()
     (PropertyGraph(verts, edges), e)
   }
@@ -113,10 +117,14 @@ object ScalingBench {
     val highCores  = if (args.length > 4) args(4).toInt else 32
     val low  = pageRankRun(lowCores, nPages, supersteps, density)
     val high = pageRankRun(highCores, nPages, supersteps, density)
+    val full = sys.env.getOrElse("SCALING_FULL", "1") == "1"
     // iteration count is a property of the standard (density 1) corpus;
     // measured on a fixed 200k-page instance to keep wall time bounded
-    val iters = iterationsToTol(highCores, math.min(nPages, 200000L), density = 1.0)
-    val secondary = secondaryRun(highCores, nPages, density)
+    val iters =
+      if (full) iterationsToTol(highCores, math.min(nPages, 200000L), density = 1.0)
+      else (0, 0)
+    val secondary =
+      if (full) secondaryRun(highCores, nPages, density) else Map("edges" -> low.edges.toDouble)
     println("SCALING " + jsonLine(nPages, supersteps, low, high, iters, secondary))
   }
 }

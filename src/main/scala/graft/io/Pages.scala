@@ -72,6 +72,31 @@ object Pages {
       .select("url", "warc_ts", "html", "text", "lang")
   }
 
+  /** The edge table that `toGraph(synth(...))` produces, generated directly
+    * from the link model without materializing html — bit-identical to the
+    * extraction path (asserted in PagesSpec) and used for large benchmark
+    * graphs where the html round-trip adds nothing. */
+  def synthEdges(spark: SparkSession, n: Long, seed: Long = 42L,
+                 hosts: Long = 100L, maxDegree: Int = 1000,
+                 hubCount: Int = 4, hubDegree: Int = 5000,
+                 density: Double = 1.0): DataFrame = {
+    val i    = col("id")
+    val h    = xxhash64(lit(seed), i)
+    val dRaw = floor(lit(density) * pow(unit(h), lit(-1.0 / 2.1))).cast("int")
+    val deg  = when(i < lit(hubCount.toLong), lit(math.min(hubDegree, (n - 1).toInt)))
+      .otherwise(least(dRaw, lit(maxDegree)))
+    val targetId = (k: org.apache.spark.sql.Column) => pmod(xxhash64(lit(seed), i, k), lit(n))
+    val urlOf = (x: org.apache.spark.sql.Column) =>
+      concat(lit("https://host-"), pmod(x, lit(hosts)).cast("string"),
+             lit(".example/p/"), x.cast("string"))
+    spark.range(n)
+      .select(i, explode(when(deg > 0,
+          filter(transform(sequence(lit(0), deg - 1), k => targetId(k)), t => t =!= i))
+        .otherwise(array().cast("array<bigint>"))).as("t"))
+      .select(xxhash64(urlOf(i)).as("src"), xxhash64(urlOf(col("t"))).as("dst"),
+              lit(1.0).as("weight"))
+  }
+
   /** Deterministic, locale/time-independent HTML→text extraction. Pure
     * column expression (whole-stage codegen, no UDF): strip tags, decode the
     * few entities we emit, collapse whitespace. MUST stay byte-stable across

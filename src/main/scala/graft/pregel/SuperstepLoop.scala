@@ -98,12 +98,29 @@ object SuperstepLoop {
     }
   }
 
-  /** Temporarily disable AQE for the loop's jobs (restores prior value). */
+  /** Loop-scoped session conf (restored afterwards):
+    *  - AQE off: per-stage re-planning multiplies fixed superstep latency
+    *  - broadcast joins off: Catalyst would otherwise broadcast the V-row
+    *    state through the driver EVERY superstep (a serial bottleneck that
+    *    destroys scaling); the loop's joins are co-partitioned by design —
+    *    state is hash-partitioned by id from its groupBy, edges are
+    *    pre-partitioned by src — so the exchange-free path is strictly better
+    *  - shuffled hash join preferred over sort-merge: the co-partitioned
+    *    joins then skip per-superstep sorts of the edge table
+    */
   private def withLoopConf[A](spark: SparkSession, cfg: LoopConfig)(body: => A): A = {
-    val key  = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key, "true")
-    if (cfg.disableAqeInLoop) spark.conf.set(key, "false")
-    try body finally spark.conf.set(key, prev)
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.join.preferSortMergeJoin")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    if (cfg.disableAqeInLoop) {
+      spark.conf.set(keys(0), "false")
+      spark.conf.set(keys(1), "-1")
+      spark.conf.set(keys(2), "false")
+    }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   private def loop(spark: SparkSession, init: DataFrame, startIter: Int,

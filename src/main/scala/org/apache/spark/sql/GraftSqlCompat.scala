@@ -14,10 +14,15 @@ package org.apache.spark.sql
 object GraftSqlCompat {
   /** New DataFrame over df's physical rows with a depth-1 logical plan.
     * The input should be persisted and materialized: the wrapper re-executes
-    * its physical plan on access, which is then a cache read. */
+    * its physical plan on access, which is then a cache read.
+    * `LogicalRDD.fromDataset` carries the physical output partitioning and
+    * ordering across the rewrap — essential so the next superstep's joins
+    * still see the state hash-partitioned by id and skip their exchanges. */
   def truncatePlan(df: DataFrame): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val ds    = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
-    spark.internalCreateDataFrame(ds.queryExecution.toRdd, df.schema, isStreaming = false)
+    val logical = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      ds.queryExecution.toRdd, ds, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, logical)
   }
 }

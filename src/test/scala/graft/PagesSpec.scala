@@ -40,6 +40,13 @@ class PagesSpec extends AnyFunSuite with SparkTestBase {
     assert(e1.count() == 5728, s"edge count drifted: ${e1.count()}")
   }
 
+  test("synthEdges equals the html-extraction edge table") {
+    val viaHtml   = Pages.toGraph(Pages.synth(spark, 800)).edges
+    val direct    = Pages.synthEdges(spark, 800).select("src", "dst", "weight")
+    assert(viaHtml.exceptAll(direct).isEmpty && direct.exceptAll(viaHtml).isEmpty)
+    assert(viaHtml.count() == direct.count())
+  }
+
   test("hub pages exercise skew: forced hubs have large out-degree") {
     val g = Pages.toGraph(Pages.synth(spark, 2000, hubCount = 4, hubDegree = 500))
     val top = g.edges.groupBy("src").count()
