@@ -26,17 +26,38 @@ object ScalingBench {
 
   private def session(cores: Int): SparkSession = {
     val localDir = sys.env.getOrElse("GRAFT_BENCH_LOCAL_DIR", "/dev/shm/spark-local")
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
+    // GRAFT_BENCH_CLUSTER=1 runs real multi-executor JVMs (local-cluster):
+    // cores/4 workers x 4 cores — the honest "N executors vs 4N executors"
+    // shape of the north rule; a single shared JVM otherwise (local[n]).
+    val cluster = sys.env.getOrElse("GRAFT_BENCH_CLUSTER", "0") == "1"
+    val workerMem = sys.env.getOrElse("GRAFT_BENCH_WORKER_MB", "12288")
+    val master =
+      if (cluster) s"local-cluster[${math.max(1, cores / 4)},4,$workerMem]"
+      else s"local[$cores]"
+    // partitions sized by DATA, identical at both parallelism levels (the
+    // cluster-honest shape: a 100 TB job would fix its partitioning by input
+    // size, not executor count) — also keeps per-task memory constant and
+    // map-side combine effectiveness comparable between the two legs
+    val parts = sys.env.getOrElse("GRAFT_BENCH_PARTS", "64")
+    val builder = SparkSession.builder()
+      .master(master)
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // shuffle spill on tmpfs: benchmark supersteps are shuffle-latency
       // bound on slow block devices otherwise
       .config("spark.local.dir", localDir)
-      .getOrCreate()
+    // executors need the graft classes (shipped jar) and the full worker
+    // memory (spark.executor.memory defaults to 1g regardless of worker size)
+    val withJar = sys.env.get("GRAFT_JAR") match {
+      case Some(jar) if cluster =>
+        builder.config("spark.jars", jar)
+          .config("spark.executor.memory", s"${workerMem}m")
+      case _ => builder
+    }
+    val s = withJar.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }

@@ -42,6 +42,40 @@ object BenchProbe {
     t(s"pagerank $steps supersteps (2nd)") {
       PageRank.run(graph, PageRankConfig(tolerance = 0.0, maxIterations = steps)).scores.count()
     }
+    if (sys.env.get("PROBE_EXPLAIN_LOOP").contains("1")) {
+      // replicate the EXACT loop conditions: loop conf + truncated state
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val edgesW = graft.core.GraphOps.withWeight(graph.edges)
+      val degrees = edgesW.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+      val msgEdges = edgesW.join(degrees, "src").filter(col("deg") > 0)
+        .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("norm"))
+        .repartition(parts, col("src")).persist()
+      msgEdges.count()
+      val init0 = graph.vertices.repartition(parts, col("id"))
+        .select(col("id"), lit(0.15).as("rank"), lit(0.15).as("delta"), lit(true).as("_active"))
+        .persist()
+      init0.count()
+      // superstep 1 output, persisted + truncated like the loop does
+      def step(state: org.apache.spark.sql.DataFrame) = {
+        val inbox = state.filter(col("_active")).select(col("id").as("src"), col("delta"))
+          .join(msgEdges, "src")
+          .select(col("dst").as("id"), (col("delta") * col("norm")).as("msg"))
+          .groupBy("id").agg(sum("msg").as("msum"))
+        state.select("id", "rank").join(inbox, Seq("id"), "left")
+          .select(col("id"),
+            (col("rank") + coalesce(lit(0.85) * col("msum"), lit(0.0))).as("rank"),
+            coalesce(lit(0.85) * col("msum"), lit(0.0)).as("delta"))
+          .withColumn("_active", col("delta") > lit(0.0))
+      }
+      val s1 = step(init0).persist(); s1.count()
+      val s1t = org.apache.spark.sql.GraftSqlCompat.truncatePlan(s1)
+      println("=== PLAN OF SUPERSTEP 2 (steady state) ===")
+      step(s1t).explain("formatted")
+    }
     if (sys.env.get("PROBE_EXPLAIN").contains("1")) {
       // one-superstep plan: replicate the loop body for inspection
       import org.apache.spark.sql.functions._
