@@ -17,8 +17,11 @@ import graft.pregel.{LoopConfig, SuperstepLoop}
   *  - messages carry the UNNORMALIZED next value (sends happen before the
   *    master normalization step)
   *
-  * One message shuffle plus one small L2 aggregation per superstep (the
-  * masterCompute analogue — a scalar collected on the driver).
+  * One message shuffle per superstep. The masterCompute L2 scalar is a
+  * 1-row aggregate BROADCAST back into the same superstep plan (no driver
+  * `.first()` round-trip per iteration — that per-superstep driver sync was
+  * the round-1 scaling bottleneck; the broadcast exchange runs inside the
+  * superstep's own job).
   */
 object Eigenvector {
 
@@ -46,6 +49,7 @@ object Eigenvector {
       else when(col("id").isInCollection(cfg.sourceNodes), lit(initValue)).otherwise(lit(0.0))
 
     // state_0 = after superstep 0 + master step: rank normalized, next raw.
+    // (one-time driver scalar — NOT per superstep)
     val init0 = vertices.repartition(parts, col("id"))
       .select(col("id"), initCol.as("next"))
     val l2init = init0.agg(sqrt(sum(col("next") * col("next")))).first().getDouble(0)
@@ -54,9 +58,6 @@ object Eigenvector {
         col("next"), lit(true).as(SuperstepLoop.ActiveCol))
 
     val loopCfg = LoopConfig(cfg.maxIterations - 1, cfg.checkpointDir, cfg.checkpointInterval)
-    // intermediate `raw` frames are persisted for the double-pass (L2 + next
-    // state) inside each superstep; unpersisted together after the loop
-    val persistedRaw = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val result = SuperstepLoop.run(init, loopCfg) { (state, _) =>
       val inbox = state
         .select(col("id").as("src"), col("next"))
@@ -67,18 +68,20 @@ object Eigenvector {
         .join(inbox, Seq("id"), "left")
         .select(col("id"), col("rank"),
           (col("rank") + coalesce(col("msum"), lit(0.0))).as("next"))
-        .persist()
-      persistedRaw += raw
-      val l2r = raw.agg(sqrt(sum(col("next") * col("next")))).first().getDouble(0)
-      val l2  = if (l2r == 0.0) 1.0 else l2r
-      val out = raw.select(col("id"), (col("next") / lit(l2)).as("newRank"),
+      // masterCompute: the L2 norm as a broadcast 1-row aggregate joined
+      // back in-plan (explicit hint — the loop conf only disables AUTO
+      // broadcasts). The raw subtree is evaluated twice within the job
+      // (once for the scalar, once for the update) — both sides read the
+      // inbox aggregation's shuffle files, nothing is recomputed upstream.
+      val l2 = raw.agg(sqrt(sum(col("next") * col("next"))).as("__l2"))
+        .select(when(col("__l2") === 0.0, lit(1.0)).otherwise(col("__l2")).as("__l2"))
+      raw.crossJoin(broadcast(l2))
+        .select(col("id"), (col("next") / col("__l2")).as("newRank"),
           col("next"), col("rank"))
         .select(col("id"), col("newRank").as("rank"), col("next"),
           (abs(col("newRank") - col("rank")) > lit(cfg.tolerance)).as(SuperstepLoop.ActiveCol))
-      out
     }
     msgEdges.unpersist(false)
-    persistedRaw.dropRight(1).foreach(_.unpersist(false))
 
     val scores = Scaler.apply(cfg.scaler,
       result.state.select(col("id"), col("rank").as("score")), "score")

@@ -11,8 +11,12 @@ final case class HitsConfig(maxIterations: Int = 20, numPartitions: Option[Int] 
   * auth(v) = Σ hub(u) over in-edges and hub(u) = Σ auth(v) over out-edges,
   * each L2-normalized per half-step).
   *
-  * Two shuffle aggregations per iteration plus two scalar L2 reductions
-  * (the masterCompute analogue). Returns (id, hub, auth).
+  * Two shuffle aggregations per iteration; the two L2 scalars (the
+  * masterCompute analogue) are 1-row aggregates broadcast back into the same
+  * plan, so each iteration costs exactly ONE driver action (the persist-
+  * materializing count) — round 1 collected both L2 scalars on the driver
+  * per iteration, three synchronization points per step. Returns
+  * (id, hub, auth).
   */
 object Hits {
 
@@ -28,30 +32,34 @@ object Hits {
       .persist()
     state.count()
 
+    def l2Of(df: DataFrame, c: String): DataFrame =
+      df.agg(sqrt(sum(col(c) * col(c))).as("__l2"))
+        .select(when(col("__l2") === 0.0, lit(1.0)).otherwise(col("__l2")).as("__l2"))
+
     for (_ <- 1 to cfg.maxIterations) {
-      // auth(v) = Σ hub(u) for u→v, then L2 normalize
+      // auth(v) = Σ hub(u) for u→v, L2-normalized in-plan
       val authRaw = state.select(col("id").as("src"), col("hub"))
         .join(edges, "src")
         .groupBy(col("dst").as("id")).agg(sum("hub").as("a"))
       val s1 = state.select("id", "hub").join(authRaw, Seq("id"), "left")
         .select(col("id"), col("hub"), coalesce(col("a"), lit(0.0)).as("auth"))
+        .crossJoin(broadcast(l2Of(state.select("id", "hub").join(authRaw, Seq("id"), "left")
+          .select(coalesce(col("a"), lit(0.0)).as("auth")), "auth")))
+        .select(col("id"), col("hub"), (col("auth") / col("__l2")).as("auth"))
         .persist()
-      val an = s1.agg(sqrt(sum(col("auth") * col("auth")))).first().getDouble(0)
-      // hub(u) = Σ auth(v) for u→v, then L2 normalize
-      val hubRaw = s1.select(col("id").as("dst"), (col("auth") / lit(if (an == 0) 1 else an)).as("na"))
+      // hub(u) = Σ auth(v) for u→v, L2-normalized in-plan
+      val hubRaw = s1.select(col("id").as("dst"), col("auth"))
         .join(edges, "dst")
-        .groupBy(col("src").as("id")).agg(sum("na").as("h"))
-      val s2 = s1.select(col("id"), (col("auth") / lit(if (an == 0) 1 else an)).as("auth"))
-        .join(hubRaw, Seq("id"), "left")
+        .groupBy(col("src").as("id")).agg(sum("auth").as("h"))
+      val next = s1.select("id", "auth").join(hubRaw, Seq("id"), "left")
         .select(col("id"), coalesce(col("h"), lit(0.0)).as("hub"), col("auth"))
+      val hl2 = l2Of(next.select("hub"), "hub")
+      val out = next.crossJoin(broadcast(hl2))
+        .select(col("id"), (col("hub") / col("__l2")).as("hub"), col("auth"))
         .persist()
-      val hn = s2.agg(sqrt(sum(col("hub") * col("hub")))).first().getDouble(0)
-      val next = s2.select(col("id"),
-        (col("hub") / lit(if (hn == 0) 1 else hn)).as("hub"), col("auth"))
-        .persist()
-      next.count()
-      state.unpersist(false); s1.unpersist(false); s2.unpersist(false)
-      state = org.apache.spark.sql.GraftSqlCompat.truncatePlan(next)
+      out.count()
+      state.unpersist(false); s1.unpersist(false)
+      state = org.apache.spark.sql.GraftSqlCompat.truncatePlan(out)
     }
     edges.unpersist(false)
     state.select("id", "hub", "auth")

@@ -31,10 +31,16 @@ object K1Coloring {
       .select(col("id"), lit(0L).as("color"), lit(true).as(SuperstepLoop.ActiveCol))
 
     val result = SuperstepLoop.run(init, LoopConfig(cfg.maxIterations)) { (state, _) =>
-      // neighbor colors per vertex
+      // neighbor colors per vertex. The gathered set is CAPPED: mex(taken)
+      // can never exceed the number of distinct colors in use, and a greedy
+      // coloring uses at most maxCore+1 colors — far below the cap — so
+      // filtering colors >= 65536 cannot change the mex while bounding the
+      // per-node aggregation state on power-law hubs (a 10M-degree hub would
+      // otherwise materialize its whole neighborhood's color set in one row).
       val nbrColors = state.select(col("id").as("src"), col("color").as("c"))
         .join(edges, "src")
         .select(col("dst").as("id"), col("c"))
+        .filter(col("c") < lit(65536L))
         .groupBy("id").agg(collect_set("c").as("taken"))
       // conflicted = my color present among neighbors AND I lose the tie
       // (higher id recolors). New color = mex(taken).

@@ -16,13 +16,14 @@ import graft.pregel.{LoopConfig, SuperstepLoop}
   *
   *  - [[Schedule.Sweep]] reproduces that schedule deterministically. A sweep
   *    is inherently sequential, so it runs as a single sorted partition —
-  *    the same locality the single-JVM reference has. Use it for
-  *    fixture-exact parity and moderate graphs.
-  *  - [[Schedule.Sync]] is the scalable synchronous variant (one shuffle
-  *    round per iteration, deterministic under any parallelism). Labels can
-  *    differ from the reference's async schedule (which is itself
+  *    the same locality the single-JVM reference has. SMALL-GRAPH /
+  *    FIXTURE-PARITY MODE ONLY: the whole graph serializes through one task;
+  *    never use it at scale (and it is deliberately NOT the default).
+  *  - [[Schedule.Sync]] (DEFAULT) is the scalable synchronous variant (one
+  *    shuffle round per iteration, deterministic under any parallelism).
+  *    Labels can differ from the reference's async schedule (which is itself
   *    nondeterministic at concurrency > 1); community structure converges
-  *    the same way. Default for large graphs.
+  *    the same way.
   */
 sealed trait Schedule
 object Schedule {
@@ -40,7 +41,7 @@ final case class LpConfig(
   maxIterations: Int = 10,
   seedProperty: Option[String] = None,
   nodeWeightProperty: Option[String] = None,
-  schedule: Schedule = Schedule.Sweep,
+  schedule: Schedule = Schedule.Sync,
   numPartitions: Option[Int] = None,
   checkpointDir: Option[String] = None,
   checkpointInterval: Int = 1)

@@ -7,7 +7,19 @@ import graft.pregel.{LoopConfig, SuperstepLoop}
 
 /** GDS-exact PageRank configuration (reference: algo/src/main/java/org/neo4j/
   * gds/pagerank/PageRankConfig.java:46-61 — damping 0.85, tolerance 1e-7,
-  * maxIterations 20; sourceNodes = personalization). */
+  * maxIterations 20; sourceNodes = personalization).
+  *
+  * @param hubThreshold when set, sources with (weighted) out-degree >= this
+  *                     are treated as hubs: their adjacency is removed from
+  *                     the co-partitioned edge table (where one hub's edges
+  *                     all land in a single task) and joined map-side against
+  *                     a BROADCAST of the tiny hub frontier instead — the
+  *                     north rule's skew answer for power-law web graphs.
+  * @param fusedSteps   supersteps chained lazily per driver action (see
+  *                     [[graft.pregel.LoopConfig.fusedSteps]]); >1 trades
+  *                     exact convergence-detection granularity for the
+  *                     removal of all per-superstep driver latency.
+  */
 final case class PageRankConfig(
   dampingFactor: Double = 0.85,
   tolerance: Double = 1e-7,
@@ -17,7 +29,9 @@ final case class PageRankConfig(
   scaler: Scaler = Scaler.NoScaler,
   checkpointDir: Option[String] = None,
   checkpointInterval: Int = 1,
-  numPartitions: Option[Int] = None)
+  numPartitions: Option[Int] = None,
+  hubThreshold: Option[Double] = None,
+  fusedSteps: Int = 1)
 
 final case class PageRankResult(scores: DataFrame, ranIterations: Int, didConverge: Boolean)
 
@@ -36,13 +50,21 @@ final case class PageRankResult(scores: DataFrame, ranIterations: Int, didConver
   *  - weighted: message × weight, degree = weighted out-degree
   *    (PageRankComputation.java:110-112, PageRankAlgorithmFactory.java:141-161)
   *
-  * Spark execution: one shuffle per superstep. Message normalization
-  * (weight/degree) is folded into the edge table once, edges are hash-
-  * partitioned by src and persisted across supersteps, state is always
-  * hash-partitioned by id (the groupBy output), so the two joins in each
-  * superstep reuse partitioning and only the message aggregation exchanges
-  * data — with map-side partial aggregation doing the reference's
-  * `Reducer.Sum` message combine (ReducingMessenger.java:63-97) for free.
+  * Spark execution — ONE shuffle and ONE edge join per superstep. The state
+  * never appears twice in a superstep plan: each node's own rank rides a
+  * self-loop "carrier" row in the (persisted, src-partitioned) edge table, so
+  * a superstep is literally
+  *
+  *   state ⋈ augEdges (co-partitioned, exchange-free)
+  *         → groupBy(id).agg(max(carrier) AS rank, sum(msg) AS msum)
+  *         → project new (rank, delta, active)
+  *
+  * with Catalyst's map-side partial aggregation playing the reference's
+  * `Reducer.Sum` message combiner (ReducingMessenger.java:63-97). Because the
+  * state's final operator is a projection sitting directly on its aggregation
+  * exchange, chaining supersteps lazily (fusedSteps > 1) re-reads shuffle
+  * files instead of recomputing anything — the whole run becomes a single
+  * multi-stage job with zero per-superstep driver synchronization.
   */
 object PageRank {
 
@@ -86,10 +108,32 @@ object PageRank {
     // Sources with degree 0 never send (reference PageRankComputation.java:95-97)
     // — for the weighted case that includes sources whose weights sum to 0.
     val denom = if (articleRank) col("deg") + lit(avgDegree) else col("deg")
-    val msgEdges = edgesW.join(degrees, "src")
+    val normEdges = edgesW.join(degrees, "src")
       .filter(col("deg") > lit(0.0))
-      .select(col("src"), col("dst"),
+      .select(col("src"), col("dst"), col("deg"),
         (when(lit(cfg.weighted), col("weight")).otherwise(lit(1.0)) / denom).as("norm"))
+
+    // Hub split: adjacency of super-hub sources leaves the partitioned edge
+    // table (one hub's edges otherwise land in a single src-hash partition —
+    // a straggler task at power-law scale) and instead joins a broadcast of
+    // the hub slice of the state. hubIds is tiny by construction.
+    val (mainNormEdges, hubPath) = cfg.hubThreshold match {
+      case Some(t) =>
+        val hubIds = degrees.filter(col("deg") >= t).select("src").persist()
+        val hubEdges = normEdges.filter(col("deg") >= t)
+          .select("src", "dst", "norm")
+          .repartition(parts, col("dst")).persist()
+        (normEdges.filter(col("deg") < t), Some((hubIds, hubEdges)))
+      case None => (normEdges, None)
+    }
+
+    // One persisted, src-partitioned table carrying BOTH the real messages
+    // (norm != null) and the per-node self-loop carrier rows (norm == null);
+    // the carrier row is what moves a node's own rank through the single
+    // superstep aggregation.
+    val augEdges = mainNormEdges.select(col("src"), col("dst"), col("norm"))
+      .unionByName(vertices.select(col("id").as("src"), col("id").as("dst"),
+        lit(null).cast("double").as("norm")))
       .repartition(parts, col("src"))
       .persist()
 
@@ -107,14 +151,16 @@ object PageRank {
     val loopCfg = LoopConfig(
       maxSteps = cfg.maxIterations - 1,
       checkpointDir = cfg.checkpointDir,
-      checkpointInterval = cfg.checkpointInterval)
+      checkpointInterval = cfg.checkpointInterval,
+      fusedSteps = cfg.fusedSteps)
 
-    val stepFn = step(msgEdges, cfg, deltaCoefficient, parts) _
+    val stepFn = step(augEdges, hubPath, cfg, deltaCoefficient) _
     val result =
       if (resumeRun) SuperstepLoop.resume(spark, init, loopCfg)(stepFn)
       else SuperstepLoop.run(init, loopCfg)(stepFn)
 
-    msgEdges.unpersist(false)
+    augEdges.unpersist(false)
+    hubPath.foreach { case (ids, es) => ids.unpersist(false); es.unpersist(false) }
     val scores = Scaler.apply(cfg.scaler,
       result.state.select(col("id"), col("rank").as("score")), "score")
     PageRankResult(
@@ -123,21 +169,39 @@ object PageRank {
       result.didConverge)
   }
 
-  private def step(msgEdges: DataFrame, cfg: PageRankConfig,
-                   deltaCoefficient: Double, parts: Int)
+  private def step(augEdges: DataFrame, hubPath: Option[(DataFrame, DataFrame)],
+                   cfg: PageRankConfig, deltaCoefficient: Double)
                   (state: DataFrame, iter: Int): DataFrame = {
-    val inbox = state
-      .filter(col(SuperstepLoop.ActiveCol))
-      .select(col("id").as("src"), col("delta"))
-      .join(msgEdges, "src")
-      .select(col("dst").as("id"), (col("delta") * col("norm")).as("msg"))
-      .groupBy("id").agg(sum("msg").as("msum"))
+    val lambda = cfg.dampingFactor * deltaCoefficient
+    // Single pass over the augmented edge table: carrier rows (norm null)
+    // transport the node's own rank; message rows send delta*norm while the
+    // source is active. Inactive sources still flow their carrier.
+    val mainFlow = state.join(augEdges, col("id") === col("src"))
+      .select(col("dst"),
+        when(col("norm").isNull, col("rank")).as("carrier"),
+        when(col("norm").isNotNull && col(SuperstepLoop.ActiveCol),
+          col("delta") * col("norm")).as("msg"))
 
-    state.select("id", "rank").join(inbox, Seq("id"), "left")
+    val flow = hubPath match {
+      case Some((hubIds, hubEdges)) =>
+        // hub frontier: tiny (id, delta) slice broadcast against the
+        // dst-partitioned hub adjacency — no hub-sized task anywhere.
+        val hubState = state.join(broadcast(hubIds.withColumnRenamed("src", "id")), "id")
+          .filter(col(SuperstepLoop.ActiveCol))
+          .select(col("id").as("src"), col("delta"))
+        val hubFlow = hubEdges.join(broadcast(hubState), "src")
+          .select(col("dst"), lit(null).cast("double").as("carrier"),
+            (col("delta") * col("norm")).as("msg"))
+        mainFlow.unionByName(hubFlow)
+      case None => mainFlow
+    }
+
+    flow.groupBy(col("dst").as("id"))
+      .agg(max(col("carrier")).as("rank0"), sum(col("msg")).as("msum"))
       .select(
         col("id"),
-        (col("rank") + coalesce(lit(cfg.dampingFactor * deltaCoefficient) * col("msum"), lit(0.0))).as("rank"),
-        coalesce(lit(cfg.dampingFactor * deltaCoefficient) * col("msum"), lit(0.0)).as("delta"))
+        (col("rank0") + coalesce(lit(lambda) * col("msum"), lit(0.0))).as("rank"),
+        coalesce(lit(lambda) * col("msum"), lit(0.0)).as("delta"))
       // active ⇔ delta > tolerance: a node sends (and blocks convergence)
       // exactly while its delta exceeds the tolerance — including degree-0
       // nodes, which in the reference delay the all-voted convergence check

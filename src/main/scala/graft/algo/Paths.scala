@@ -103,16 +103,26 @@ object Paths {
     * node2vec-style uniform steps): `walksPerNode` walks of length `steps`
     * from every vertex; the step choice is a pure function of
     * (walkId, stepIndex, seed) — bit-identical across runs/parallelism.
-    * Returns (walkId, startId, step, nodeId). Walks ending at a sink stop. */
+    * Returns (walkId, startId, step, nodeId). Walks ending at a sink stop.
+    *
+    * Scale shape: adjacency is an INDEXED EDGE TABLE (src, pos, dst) — never
+    * a per-node collected array (a 10M-degree hub would otherwise
+    * materialize its whole neighborhood in one row). A hop is two equi-joins
+    * (degree lookup to draw `pos`, then (src,pos) lookup); hop frames are
+    * lazily persisted and the whole walk materializes in ONE action at the
+    * end — round 1 ran persist+count per hop. */
   def randomWalks(graph: PropertyGraph, steps: Int, walksPerNode: Int = 1,
                   seed: Long = 42L): DataFrame = {
     val spark = graph.edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    // adjacency arrays once; walk step = indexed lookup by hashed position
-    val adj = graph.edges.groupBy(col("src").as("id"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-      .repartition(parts, col("id"))
+    import org.apache.spark.sql.expressions.Window
+    // positions are deterministic: row_number over (src, dst) ordering
+    val idx = graph.edges.select("src", "dst")
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("src").orderBy("dst", "src")) - 1)
+      .repartition(parts, col("src"))
       .persist()
+    val deg = idx.groupBy("src").agg(count(lit(1)).as("deg")).persist()
 
     var walks = graph.vertices.select("id")
       .crossJoin(spark.range(walksPerNode).select(col("id").as("w")))
@@ -120,21 +130,25 @@ object Paths {
         col("id").as("startId"), lit(0).as("step"), col("id").as("nodeId"))
       .persist()
     var out = walks
+    val hops = scala.collection.mutable.ArrayBuffer[DataFrame](walks)
 
     for (s <- 1 to steps) {
-      val next = walks
-        .join(adj, walks("nodeId") === adj("id"))
-        .select(col("walkId"), col("startId"), lit(s).as("step"),
-          element_at(col("nbrs"),
-            (pmod(xxhash64(col("walkId"), lit(s), lit(seed)), size(col("nbrs"))) + 1)
-              .cast("int")).as("nodeId"))
-        .persist()
-      next.count()
-      walks.unpersist(false)
+      val drawn = walks
+        .join(deg, walks("nodeId") === deg("src"))
+        .select(col("walkId"), col("startId"), col("nodeId"),
+          pmod(xxhash64(col("walkId"), lit(s), lit(seed)), col("deg")).as("pos"))
+      val next = drawn
+        .join(idx, drawn("nodeId") === idx("src") && drawn("pos") === idx("pos"))
+        .select(col("walkId"), col("startId"), lit(s).as("step"), col("dst").as("nodeId"))
+        .persist() // lazy: materialized by the caller's single final action
+      hops += next
       walks = next
       out = out.unionByName(next)
     }
-    adj.unpersist(false)
-    out
+    val result = out.persist()
+    result.count() // one action materializes every hop via its cache
+    hops.foreach(_.unpersist(false))
+    idx.unpersist(false); deg.unpersist(false)
+    result
   }
 }

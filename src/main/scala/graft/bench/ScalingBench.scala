@@ -51,10 +51,17 @@ object ScalingBench {
       .config("spark.local.dir", localDir)
     // executors need the graft classes (shipped jar) and the full worker
     // memory (spark.executor.memory defaults to 1g regardless of worker size)
+    // local-cluster executors are launched via the Spark launcher scripts,
+    // which need SPARK_HOME and the scala suffix; the sandbox install is
+    // /opt/spark. Passed via executorEnv/childEnv so the bench needs no
+    // caller-side environment.
+    val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
     val withJar = sys.env.get("GRAFT_JAR") match {
       case Some(jar) if cluster =>
         builder.config("spark.jars", jar)
           .config("spark.executor.memory", s"${workerMem}m")
+          .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+          .config("spark.executorEnv.SPARK_HOME", sparkHome)
       case _ => builder
     }
     val s = withJar.getOrCreate()
@@ -79,10 +86,17 @@ object ScalingBench {
     val spark = session(cores)
     try {
       val (graph, e) = benchGraph(spark, nPages, density)
+      // Fixed-iteration run => fuse all supersteps into one lazily-chained
+      // job (no per-superstep driver sync — LoopConfig.fusedSteps), with the
+      // synthetic graph's forced hubs split onto the broadcast-frontier path.
+      val fused = sys.env.getOrElse("GRAFT_BENCH_FUSED", supersteps.toString).toInt
+      val hubT  = sys.env.getOrElse("GRAFT_BENCH_HUB_THRESHOLD", "2000").toDouble
+      val cfg = PageRankConfig(tolerance = 0.0, maxIterations = supersteps,
+        fusedSteps = fused, hubThreshold = Some(hubT))
       // warm-up superstep machinery (JIT, codegen) on a tiny run
-      PageRank.run(graph, PageRankConfig(maxIterations = 2)).scores.count()
+      PageRank.run(graph, cfg.copy(maxIterations = 2)).scores.count()
       val t0 = System.nanoTime()
-      val r = PageRank.run(graph, PageRankConfig(tolerance = 0.0, maxIterations = supersteps))
+      val r = PageRank.run(graph, cfg)
       r.scores.count()
       val secs = (System.nanoTime() - t0) / 1e9
       RunStats(cores, secs, e, supersteps)

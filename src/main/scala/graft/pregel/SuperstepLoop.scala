@@ -1,6 +1,6 @@
 package graft.pregel
 
-import org.apache.spark.sql.{DataFrame, GraftSqlCompat, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftSqlCompat, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.io.SnapshotStore
@@ -28,8 +28,26 @@ import graft.io.SnapshotStore
   *                           stage and multiplies fixed per-iteration latency
   *                           ~5x (measured); the loop turns AQE off for its
   *                           own jobs and restores the previous setting after.
-  *                           Skew inside a superstep is handled by the salted
-  *                           partitioning of the edge tables instead.
+  *                           Skew inside a superstep is handled by the hub
+  *                           split / salting of the edge tables instead.
+  * @param fusedSteps         how many supersteps to chain LAZILY between
+  *                           driver actions. 1 (default) = classic behavior:
+  *                           one job per superstep, convergence checked after
+  *                           each. >1 = the driver builds `fusedSteps`
+  *                           supersteps as one logical chain (plan-truncated
+  *                           between, so planning stays O(1) per step) and
+  *                           runs ONE job for the whole batch; convergence is
+  *                           only observed at batch boundaries. Requires the
+  *                           step function to be fixpoint-stable (running
+  *                           extra supersteps after convergence must not
+  *                           change the state — true for PageRank/BFS/SSSP/
+  *                           WCC/LP), and the step's final operator should
+  *                           sit directly on its aggregation shuffle so the
+  *                           next step's double-reference re-reads shuffle
+  *                           files instead of recomputing. This removes the
+  *                           per-superstep driver round-trip — the fixed cost
+  *                           that capped scaling efficiency at small
+  *                           per-superstep compute.
   */
 final case class LoopConfig(
   maxSteps: Int,
@@ -37,7 +55,8 @@ final case class LoopConfig(
   checkpointInterval: Int = 1,
   truncateInterval: Int = 8,
   disableAqeInLoop: Boolean = true,
-  storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+  storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+  fusedSteps: Int = 1)
 
 final case class IterationMetrics(iteration: Int, activeCount: Long, wallMs: Long)
 
@@ -58,6 +77,12 @@ final case class LoopResult(
   * per-iteration logical-plan truncation, periodic RDD-lineage cuts, durable
   * per-iteration checkpoints and resume — the pieces the single-JVM
   * reference never needed (SURVEY.md §2.7).
+  *
+  * Each materialized batch costs exactly ONE driver action: the state is
+  * persisted and the active count is folded into the same job as a tiny
+  * aggregate over the cached rows (round 1 ran persist-then-count —
+  * two driver-synchronized jobs per superstep, which dominated superstep
+  * latency at benchmark scale).
   *
   * Shuffle discipline: the driver never repartitions state; each step is
   * expected to produce state hash-partitioned by id (the natural output of
@@ -104,7 +129,9 @@ object SuperstepLoop {
     *    state through the driver EVERY superstep (a serial bottleneck that
     *    destroys scaling); the loop's joins are co-partitioned by design —
     *    state is hash-partitioned by id from its groupBy, edges are
-    *    pre-partitioned by src — so the exchange-free path is strictly better
+    *    pre-partitioned by src — so the exchange-free path is strictly better.
+    *    (Explicit `broadcast()` hints — the hub-frontier and L2-scalar
+    *    broadcasts — still apply; only automatic selection is off.)
     *  - shuffled hash join preferred over sort-merge: the co-partitioned
     *    joins then skip per-superstep sorts of the edge table
     */
@@ -123,23 +150,41 @@ object SuperstepLoop {
     }
   }
 
+  /** Materialize `df` (persist) and return its active count — ONE action:
+    * the aggregate populates the cache and folds the count in the same job. */
+  private def materialize(df: DataFrame, cfg: LoopConfig): (DataFrame, Long) = {
+    val cached = df.persist(cfg.storageLevel)
+    val row: Row = cached.agg(
+      count(when(col(ActiveCol), lit(1))).as("active")).collect()(0)
+    (cached, row.getLong(0))
+  }
+
   private def loop(spark: SparkSession, init: DataFrame, startIter: Int,
                    history0: Seq[IterationMetrics], cfg: LoopConfig)
                   (step: (DataFrame, Int) => DataFrame): LoopResult = {
     // `cached` is the handle holding storage; `state` is the plan-truncated
     // view handed to the next superstep.
-    var cached  = init.persist(cfg.storageLevel)
-    var active  = cached.filter(col(ActiveCol)).count()
+    var (cached, active) = materialize(init, cfg)
     var state   = GraftSqlCompat.truncatePlan(cached)
     var history = history0
     var iter    = startIter
+    var lastCut = startIter
     var converged = active == 0L
 
     while (!converged && iter < cfg.maxSteps) {
-      iter += 1
-      val t0   = System.nanoTime()
-      val next = step(state, iter).persist(cfg.storageLevel)
-      active   = next.filter(col(ActiveCol)).count()
+      val t0 = System.nanoTime()
+      // Build up to fusedSteps supersteps lazily: each chained step is
+      // plan-truncated (LogicalRDD over toRdd — carries partitioning, costs
+      // no action) so Catalyst plans each superstep once, and the whole
+      // batch executes as a single multi-stage job at materialize below.
+      var chained = state
+      val batchStart = iter
+      while (iter - batchStart < cfg.fusedSteps && iter < cfg.maxSteps) {
+        iter += 1
+        chained = GraftSqlCompat.truncatePlan(step(chained, iter))
+      }
+      val (nextCached, nextActive) = materialize(chained, cfg)
+      active = nextActive
       val wall = (System.nanoTime() - t0) / 1000000L
       history :+= IterationMetrics(iter, active, wall)
       converged = active == 0L
@@ -150,23 +195,24 @@ object SuperstepLoop {
         case Some(dir) if iter % cfg.checkpointInterval == 0 || converged =>
           // Durable snapshot: per-partition parquet + convergence metrics in
           // the manifest; reading it back also truncates all lineage.
-          val snap = SnapshotStore.commit(next, dir, Map(
+          val snap = SnapshotStore.commit(nextCached, dir, Map(
             "iteration"   -> iter.toString,
             "activeCount" -> active.toString,
             "wallMs"      -> wall.toString,
-            "partitions"  -> next.rdd.getNumPartitions.toString))
-          next.unpersist(false)
+            "partitions"  -> nextCached.rdd.getNumPartitions.toString))
+          nextCached.unpersist(false)
           cached = spark.read.parquet(snap.dataPath).persist(cfg.storageLevel)
           state  = cached
-        case _ if iter % cfg.truncateInterval == 0 =>
+        case _ if iter - lastCut >= cfg.truncateInterval =>
           // periodic hard cut of the physical RDD chain
-          val cut = next.localCheckpoint(true)
-          next.unpersist(false)
+          lastCut = iter
+          val cut = nextCached.localCheckpoint(true)
+          nextCached.unpersist(false)
           cached = cut
           state  = cut
         case _ =>
-          cached = next
-          state  = GraftSqlCompat.truncatePlan(next)
+          cached = nextCached
+          state  = GraftSqlCompat.truncatePlan(nextCached)
       }
       prevCached.unpersist(false)
     }

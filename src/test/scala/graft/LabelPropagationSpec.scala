@@ -26,7 +26,9 @@ class LabelPropagationSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("1 iteration, no seed: labels are node ids after one in-order sweep") {
-    val r = LabelPropagation.run(graph, LpConfig(maxIterations = 1))
+    // fixture-parity schedule: the reference's single-batch in-order sweep
+    val r = LabelPropagation.run(graph,
+      LpConfig(maxIterations = 1, schedule = Schedule.Sweep))
     val labels = collectLongMap(r.labels, "id", "label")
     assert(labels == Map(
       alice -> bridget, bridget -> bridget, charles -> doug,
@@ -36,7 +38,8 @@ class LabelPropagationSpec extends AnyFunSuite with SparkTestBase {
 
   test("1 iteration with seedProperty") {
     val r = LabelPropagation.run(seededGraph,
-      LpConfig(maxIterations = 1, seedProperty = Some("seedId")))
+      LpConfig(maxIterations = 1, seedProperty = Some("seedId"),
+        schedule = Schedule.Sweep))
     val labels = collectLongMap(r.labels, "id", "label")
     assert(labels == Map(
       alice -> 2L, bridget -> 2L, charles -> 3L, doug -> 4L, mark -> 4L, michael -> 2L),

@@ -39,6 +39,18 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(r.ranIterations == 41 && !r.didConverge)
   }
 
+  test("fused supersteps and hub split match the reference-exact result") {
+    val base = PageRank.run(graph, PageRankConfig(tolerance = 0.0, maxIterations = 20))
+      .scores
+    val fused = PageRank.run(graph, PageRankConfig(tolerance = 0.0, maxIterations = 20,
+      fusedSteps = 7, hubThreshold = Some(3.0))).scores
+    val b = collectMap(base, "id", "score")
+    val f = collectMap(fused, "id", "score")
+    assert(b.keySet == f.keySet)
+    b.foreach { case (id, v) =>
+      assert(math.abs(f(id) - v) < 1e-12, s"node $id fused=${f(id)} base=$v") }
+  }
+
   test("iterations-to-tolerance parity: tol 0.5 -> 2, tol 0.1 -> 13") {
     val r1 = PageRank.run(graph, PageRankConfig(tolerance = 0.5, maxIterations = 40))
     assert(r1.ranIterations == 2, s"tol=0.5 expected 2 got ${r1.ranIterations}")
