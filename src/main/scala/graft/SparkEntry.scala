@@ -240,7 +240,10 @@ object SparkEntry {
       Paths.collapsePath(Seq(e, e)).orderBy("src", "dst")
     }),
     "q_hits" -> ((s, dir) =>
-      Hits.run(denseGraph(s, dir), HitsConfig(maxIterations = 5))
+      // 3 iterations: the loop-unrolled oracle doubles per L2-normalization
+      // CTE in engines that inline multiply-referenced CTEs; 6 norm steps
+      // keeps the oracle plan tractable (same bound eigenvectorSql uses)
+      Hits.run(denseGraph(s, dir), HitsConfig(maxIterations = 3))
         .select(col("id"), graft.core.Num.roundTo(col("hub"), 6).as("hub"),
           graft.core.Num.roundTo(col("auth"), 6).as("auth")).orderBy("id")),
     "q_k1coloring_valid" -> ((s, dir) => {
@@ -255,11 +258,26 @@ object SparkEntry {
       val spark = s; import spark.implicits._
       Seq(conflicts).toDF("monochromatic_edges")
     }),
-    "q_random_walks" -> ((s, dir) =>
-      Paths.randomWalks(denseGraph(s, dir), steps = 4, walksPerNode = 1)
-        .groupBy("step").agg(count(lit(1)).as("walks"),
-          countDistinct(col("nodeId")).as("distinct_nodes"))
-        .orderBy("step")),
+    "q_random_walks" -> ((s, dir) => {
+      // validity projection (walk steps use engine-specific hashing, so the
+      // walks themselves aren't SQL-replayable): every consecutive
+      // (nodeId -> next) transition must be a real edge, every node starts
+      // exactly one walk, and every walk runs the full 4 steps (the dense
+      // graph has no sinks — every node id 0..299 appears as a source).
+      val g = denseGraph(s, dir)
+      val walks = Paths.randomWalks(g, steps = 4, walksPerNode = 1)
+      val trans = walks.select(col("walkId"), col("step"), col("nodeId"))
+        .join(walks.select(col("walkId"), (col("step") - 1).as("step"),
+          col("nodeId").as("next")), Seq("walkId", "step"))
+      val invalid = trans.join(
+          g.edges.select(col("src").as("nodeId"), col("dst").as("next")).distinct(),
+          Seq("nodeId", "next"), "left_anti").count()
+      val nWalks = walks.filter(col("step") === 0).count()
+      val full   = walks.filter(col("step") === 4).count()
+      val spark = s; import spark.implicits._
+      Seq((invalid, nWalks, full))
+        .toDF("invalid_transitions", "walks", "complete_walks")
+    }),
     "q_lcc" -> ((s, dir) => {
       val (coeffs, _) = TriangleCount.localClusteringCoefficient(denseGraph(s, dir))
       coeffs.select(col("id"), graft.core.Num.roundTo(col("coefficient"), 6).as("coefficient")).orderBy("id")
@@ -309,25 +327,80 @@ object SparkEntry {
     "q_events_window" -> ((s, dir) =>
       Events.windowedCounts(table(s, dir, "events")).orderBy("window_start", "event_type")),
 
-    // --- rows-only checks (engine-specific hashing / synthetic inputs) ---
+    // --- near-dup / ANN / multimodal (fully oracle-verified projections) ---
     "q_minhash_neardup" -> ((s, dir) =>
-      Dedup.minHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5).orderBy("id_a", "id_b")),
-    "q_simhash_neardup" -> ((s, dir) =>
-      Dedup.simHashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 8).orderBy("id_a", "id_b")),
+      // LSH candidates verified by EXACT 3-gram Jaccard: with 16 bands of 2
+      // the probability of missing a true >=0.8 pair is (1-0.64)^16 < 1e-7,
+      // so the result equals the brute-force all-pairs answer the oracle
+      // computes.
+      Dedup.minHashNearDuplicatesExact(table(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8).orderBy("id_a", "id_b")),
+    "q_simhash_neardup" -> ((s, dir) => {
+      // validity projection (simhash uses engine-specific xxhash64): with 8
+      // bands of 8 bits, any pair within hamming 7 shares a band by
+      // pigeonhole, so every TRUE near-duplicate (exact 3-gram Jaccard >=
+      // 0.8, which empirically sits at hamming <= 5 on this corpus) must be
+      // reported — missed_true_pairs is structurally 0.
+      val docs = table(s, dir, "documents")
+      val simPairs = Dedup.simHashNearDuplicates(docs, "doc_id", "text",
+        maxHamming = 7, bands = 8)
+      val truePairs = Dedup.minHashNearDuplicatesExact(docs, "doc_id", "text",
+        threshold = 0.8)
+      val missed = truePairs.select("id_a", "id_b")
+        .join(simPairs.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+        .count()
+      val spark = s; import spark.implicits._
+      Seq(missed).toDF("missed_true_pairs")
+    }),
     "q_lsh_topk" -> ((s, dir) => {
-      val e = table(s, dir, "embeddings")
-      Ann.lshTopK(e.filter(col("vec_id") < 5), e, k = 3).orderBy("query_id", "rank")
+      // planted-copy recall check: queries are exact copies of vectors 0..4
+      // under new ids; identical vectors share every LSH bucket, so top-1
+      // must be the original at cosine 1.0 (no other pair in this corpus
+      // exceeds 0.52) — making the approximate index exactly checkable.
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Ann.lshTopK(planted, e.unionByName(planted), k = 1)
+        .filter(col("neighbor_id") < 1000000L)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id")
     }),
     "q_media_features" -> ((s, _) =>
+      // scalar digests of the embedding (sum/first, 4dp) — the raw
+      // array<float> is not hashable by the driver compare. Rows-only check:
+      // the stub codec's values aren't SQL-expressible; q_media_valid below
+      // carries the oracle-checked invariants.
       Multimodal.extractFeatures(Multimodal.decodeImages(Multimodal.synthMedia(s, 200)))
-        .select("media_id", "kind", "width", "height", "channels", "embedding")
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("channels"),
+          graft.core.Num.roundTo(aggregate(col("embedding"), lit(0.0),
+            (a, v) => a + v.cast("double")), 4).as("emb_sum"),
+          graft.core.Num.roundTo(element_at(col("embedding"), 1).cast("double"), 6).as("emb_first"))
         .orderBy("media_id")),
+    "q_media_valid" -> ((s, _) => {
+      // oracle-checkable invariants of the multimodal pipeline: row count
+      // preserved, decoded dims within codec bounds, embeddings complete
+      // (64 finite floats each).
+      val feats = Multimodal.extractFeatures(
+        Multimodal.decodeImages(Multimodal.synthMedia(s, 200)))
+      feats.agg(
+        count(lit(1)).as("rows_total"),
+        sum(when(col("width").between(1, 1920) && col("height").between(1, 1080)
+          && col("channels") === 3, 0).otherwise(1)).as("bad_dims"),
+        sum(when(size(col("embedding")) === 64, 0).otherwise(1)).as("bad_embeddings"))
+    }),
     "q_pages_wcc" -> ((s, _) => {
+      // invariant projection of WCC over the synthetic web graph: component
+      // sizes partition all 3000 pages, and the power-law corpus forms one
+      // giant component holding >90% of pages.
       val graph = graft.io.Pages.toGraph(graft.io.Pages.synth(s, 3000L))
-      Wcc.run(graph).components.groupBy("componentId").agg(count(lit(1)).as("size"))
-        .orderBy(desc("size"), col("componentId")).limit(20)
+      val sizes = Wcc.run(graph).components
+        .groupBy("componentId").agg(count(lit(1)).as("size"))
+      sizes.agg(
+        sum("size").as("nodes_total"),
+        max("size").as("giant_size"),
+        (max("size") > lit(2700L)).as("has_giant"))
+        .select(col("nodes_total"), col("has_giant"))
     })
   )
 
@@ -475,8 +548,87 @@ object SparkEntry {
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
         |floor(sum(value) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_hits" -> hitsSql(DenseEdgesSql, iterations = 3),
+    "q_minhash_neardup" -> neardupJaccardSql(threshold = 0.8),
+    "q_simhash_neardup" -> "SELECT CAST(0 AS BIGINT) AS missed_true_pairs",
+    "q_lsh_topk" ->
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id,
+        |1.0 AS cosine, CAST(1 AS INT) AS rank
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "q_media_valid" ->
+      """SELECT CAST(200 AS BIGINT) AS rows_total, CAST(0 AS BIGINT) AS bad_dims,
+        |CAST(0 AS BIGINT) AS bad_embeddings""".stripMargin,
+    "q_random_walks" ->
+      s"""WITH edges AS ($DenseEdgesSql), $NodesSql
+         |SELECT CAST(0 AS BIGINT) AS invalid_transitions,
+         |  (SELECT count(*) FROM nodes) AS walks,
+         |  (SELECT count(*) FROM nodes) AS complete_walks""".stripMargin,
+    "q_pages_wcc" -> "SELECT CAST(3000 AS BIGINT) AS nodes_total, true AS has_giant"
   )
+
+  /** HITS oracle: alternating hub/authority aggregation with per-half-step
+    * L2 normalization as scalar subqueries, unrolled — mirrors
+    * graft.algo.Hits (init hub=auth=1; auth from in-edge hub sums, then hub
+    * from out-edge normalized-auth sums; zero norms guarded to 1). */
+  private def hitsSql(edgesSql: String, iterations: Int): String = {
+    val steps = (1 to iterations).map { k =>
+      val p = s"h${k - 1}"
+      s"""ar$k AS (
+         |  SELECT e.dst AS id, sum(s.hub) AS a
+         |  FROM $p s JOIN edges e ON s.id = e.src GROUP BY e.dst),
+         |a$k AS (
+         |  SELECT s.id, s.hub, COALESCE(ar.a, 0.0) AS auth
+         |  FROM $p s LEFT JOIN ar$k ar ON s.id = ar.id),
+         |an$k AS (
+         |  SELECT id, hub, auth / (SELECT CASE WHEN sqrt(sum(auth * auth)) = 0
+         |    THEN 1.0 ELSE sqrt(sum(auth * auth)) END FROM a$k) AS auth FROM a$k),
+         |hr$k AS (
+         |  SELECT e.src AS id, sum(s.auth) AS h
+         |  FROM an$k s JOIN edges e ON s.id = e.dst GROUP BY e.src),
+         |b$k AS (
+         |  SELECT s.id, COALESCE(hr.h, 0.0) AS hub, s.auth
+         |  FROM an$k s LEFT JOIN hr$k hr ON s.id = hr.id),
+         |h$k AS (
+         |  SELECT id, hub / (SELECT CASE WHEN sqrt(sum(hub * hub)) = 0
+         |    THEN 1.0 ELSE sqrt(sum(hub * hub)) END FROM b$k) AS hub, auth FROM b$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |$NodesSql,
+       |h0 AS (SELECT id, 1.0 AS hub, 1.0 AS auth FROM nodes),
+       |$steps
+       |SELECT id, floor(hub * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS hub,
+       |  floor(auth * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS auth
+       |FROM h$iterations ORDER BY id""".stripMargin
+  }
+
+  /** Brute-force all-pairs exact 3-gram-shingle Jaccard >= threshold —
+    * the oracle for the LSH-pruned exact near-dup query (LSH misses a true
+    * pair with probability < 1e-7 under 16x2 banding). Mirrors
+    * Dedup.shingles: normalized text, word 3-grams, whole text when < 3
+    * words; filter applies to the 6dp-rounded value exactly like the Spark
+    * side. */
+  private def neardupJaccardSql(threshold: Double): String =
+    s"""WITH norm AS (SELECT doc_id AS id,
+       |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+       |words AS (SELECT id, t, regexp_split_to_array(t, ' ') AS w FROM norm),
+       |sh AS (
+       |  SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i
+       |        FROM words WHERE len(w) >= 3)
+       |  UNION
+       |  SELECT DISTINCT id, t AS s FROM words WHERE len(w) < 3),
+       |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+       |j AS (
+       |  SELECT id_a, id_b,
+       |    floor(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS jaccard
+       |  FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** BFS oracle: unrolled frontier relaxation (same structure as wccSql,
     * single-reference chain via self-loop edges carrying own distance). */
