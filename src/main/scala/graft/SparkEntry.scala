@@ -207,6 +207,28 @@ object SparkEntry {
     "q_labelprop" -> ((s, dir) =>
       LabelPropagation.run(denseGraph(s, dir),
         LpConfig(maxIterations = 2, schedule = Schedule.FullSync)).labels.orderBy("id")),
+    "q_louvain_l1" -> ((s, dir) =>
+      // One synchronous local-move round from singletons (maxLevels=1,
+      // maxInner=1, FullSync) — deterministic AND SQL-replayable: the oracle
+      // recomputes the exact argmax_C [w(i,C) - k_i*tot_C/2m] move (all
+      // arithmetic on integer-valued doubles, so cross-engine bit-identical).
+      Louvain.run(denseGraph(s, dir), LouvainConfig(
+        maxLevels = 1, maxInnerIterations = 1, schedule = Schedule.FullSync))
+        .communities.orderBy("id")),
+    "q_louvain" -> ((s, dir) => {
+      // invariant projection of the full multi-level run: assignment covers
+      // every node, and the found partition's modularity strictly beats the
+      // singleton partition's.
+      val g = denseGraph(s, dir)
+      val r = Louvain.run(g)
+      val n = g.vertices.count()
+      val assigned = r.communities.count()
+      val singletonQ = Louvain.modularity(g,
+        g.vertices.select(col("id"), col("id").as("communityId")))
+      val spark = s; import spark.implicits._
+      Seq((assigned == n, r.modularity > singletonQ))
+        .toDF("partition_complete", "improves_singletons")
+    }),
     "q_triangle_local" -> ((s, dir) =>
       TriangleCount.run(denseGraph(s, dir)).localTriangles.orderBy("id")),
     "q_triangle_global" -> ((s, dir) => {
@@ -551,6 +573,8 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_hits" -> hitsSql(DenseEdgesSql, iterations = 3),
+    "q_louvain_l1" -> louvainL1Sql(DenseEdgesSql),
+    "q_louvain" -> "SELECT true AS partition_complete, true AS improves_singletons",
     "q_minhash_neardup" -> neardupJaccardSql(threshold = 0.8),
     "q_simhash_neardup" -> "SELECT CAST(0 AS BIGINT) AS missed_true_pairs",
     "q_lsh_topk" ->
@@ -602,6 +626,41 @@ object SparkEntry {
        |  floor(auth * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS auth
        |FROM h$iterations ORDER BY id""".stripMargin
   }
+
+  /** Louvain level-1 single-FullSync-round oracle: from singleton
+    * communities, every node moves to argmax_C [w(i,C) - k_i * tot_C / 2m]
+    * (ties to the smaller community id) iff the gain strictly beats staying
+    * (gain 0 at singletons). Mirrors graft.algo.Louvain.localMoves exactly;
+    * all quantities are integer-valued doubles so the IEEE arithmetic is
+    * engine-independent. */
+  private def louvainL1Sql(edgesSql: String): String =
+    s"""WITH edges0 AS ($edgesSql),
+       |e1 AS (SELECT src, dst FROM edges0 WHERE src <> dst),
+       |sym AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM
+       |        (SELECT src, dst FROM e1 UNION ALL SELECT dst AS src, src AS dst FROM e1)
+       |        GROUP BY src, dst),
+       |nodes AS (SELECT src AS id FROM edges0 UNION SELECT dst FROM edges0),
+       |selfw AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS sw
+       |          FROM edges0 WHERE src = dst GROUP BY src),
+       |kk AS (SELECT n.id, COALESCE(s.kv, 0.0) + 2.0 * COALESCE(sf.sw, 0.0) AS k
+       |       FROM nodes n
+       |       LEFT JOIN (SELECT src AS id, sum(w) AS kv FROM sym GROUP BY src) s ON n.id = s.id
+       |       LEFT JOIN selfw sf ON n.id = sf.id),
+       |m2 AS (SELECT sum(k) AS v FROM kk),
+       |cand AS (
+       |  SELECT s.src AS id, s.dst AS cand, s.w FROM sym s
+       |  UNION ALL SELECT id, id, 0.0 FROM kk),
+       |gains AS (
+       |  SELECT c.id, c.cand,
+       |    c.w - k1.k * (k2.k - CASE WHEN c.cand = c.id THEN k1.k ELSE 0.0 END)
+       |          / (SELECT v FROM m2) AS gain
+       |  FROM cand c JOIN kk k1 ON c.id = k1.id JOIN kk k2 ON c.cand = k2.id),
+       |best AS (SELECT id, cand, gain,
+       |  row_number() OVER (PARTITION BY id ORDER BY gain DESC, cand ASC) AS rn FROM gains),
+       |stay AS (SELECT id, gain AS sg FROM gains WHERE cand = id)
+       |SELECT b.id,
+       |  CASE WHEN b.gain > s.sg AND b.cand <> b.id THEN b.cand ELSE b.id END AS communityId
+       |FROM best b JOIN stay s ON b.id = s.id WHERE b.rn = 1 ORDER BY b.id""".stripMargin
 
   /** Brute-force all-pairs exact 3-gram-shingle Jaccard >= threshold —
     * the oracle for the LSH-pruned exact near-dup query (LSH misses a true
