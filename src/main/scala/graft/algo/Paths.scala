@@ -82,6 +82,56 @@ object Paths {
     result.state.filter(!col("dist").isNaN && col("dist") =!= inf).select("id", "dist")
   }
 
+  /** DFS preorder from `source` with deterministic neighbor order
+    * (ascending id) and optional depth / target exit conditions — the
+    * `gds.alpha.dfs.stream` surface (reference: alpha/alpha-algo/src/main/
+    * java/org/neo4j/gds/impl/traverse/Traverse.java, DFS factory + exit
+    * predicates). A depth-first order is inherently a single sequential
+    * stack walk, so like the reference (one thread) it runs in ONE task
+    * over the locally-gathered adjacency of the REACHABLE subgraph —
+    * fixture-parity / moderate-subgraph mode by design; use [[bfs]] for
+    * frontier-parallel traversal at scale. Returns (id, visitOrder). */
+  def dfs(graph: PropertyGraph, source: Long,
+          orientation: Orientation = Orientation.Natural,
+          maxDepth: Int = Int.MaxValue,
+          targets: Set[Long] = Set.empty): DataFrame = {
+    val spark = graph.edges.sparkSession
+    import spark.implicits._
+    // bound the gathered adjacency to the reachable subgraph first
+    val reachable = bfs(graph, source, orientation, maxDepth = math.min(maxDepth, 100))
+      .select("id")
+    val subEdges = graph.orientedEdges(orientation).select("src", "dst")
+      .join(reachable.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .distinct()
+    val rows = subEdges
+      .groupBy("src").agg(sort_array(collect_list("dst")).as("nbrs"))
+      .as[(Long, Seq[Long])]
+      .repartition(1)
+    val out = rows.mapPartitions { it =>
+      val adj = new java.util.HashMap[Long, Seq[Long]]()
+      it.foreach { case (u, ns) => adj.put(u, ns) }
+      val visited = new java.util.HashSet[Long]()
+      val order   = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val stack   = scala.collection.mutable.Stack[(Long, Int)]((source, 0))
+      var stop    = false
+      while (stack.nonEmpty && !stop) {
+        val (v, d) = stack.pop()
+        if (!visited.contains(v)) {
+          visited.add(v)
+          order += ((v, order.length.toLong))
+          if (targets.contains(v)) stop = true
+          else if (d < maxDepth) {
+            val ns = adj.getOrDefault(v, Seq.empty)
+            // push reversed so the smallest neighbor pops first
+            ns.reverseIterator.foreach(n => if (!visited.contains(n)) stack.push((n, d + 1)))
+          }
+        }
+      }
+      order.iterator
+    }
+    out.toDF("id", "visitOrder")
+  }
+
   /** Collapse fixed-length paths over the given relationship chain into
     * direct edges: path a -e1-> x -e2-> b becomes a->b. `hops` chained
     * equi-joins, exactly the reference's CollapsePath semantics (distinct

@@ -1,0 +1,194 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, GraftSqlCompat}
+import org.apache.spark.sql.functions._
+import graft.core.{GraphOps, Orientation, PropertyGraph}
+import graft.pregel.{LoopConfig, SuperstepLoop}
+
+/** Shortest paths WITH path tracking — the `gds.shortestPath.dijkstra.*`
+  * surface (reference: algo/src/main/java/org/neo4j/gds/paths/dijkstra/
+  * Dijkstra.java:1-342, single-source and source-target with per-target
+  * node sequences and costs).
+  *
+  * The reference runs a sequential binary-heap Dijkstra; the Spark-native
+  * formulation is frontier relaxation (the same loop as [[Paths.sssp]])
+  * extended with canonical predecessor tracking:
+  *
+  *  1. relax distances to fixpoint (one shuffle per round, frontier
+  *     shrinks);
+  *  2. ONE full pass computes the canonical predecessor
+  *     pred(v) = min{ u : dist(u) + w(u,v) = dist(v) } — deterministic
+  *     regardless of which round each distance settled in;
+  *  3. path reconstruction walks the predecessor forest iteratively
+  *     (rounds = max hop count), building the node sequence per vertex.
+  *
+  * Non-negative weights assumed (like the reference, which validates
+  * this at load). */
+object ShortestPaths {
+
+  /** Single-source Dijkstra: returns (id, dist, pred, path) for every
+    * reachable vertex; `path` is the full node sequence source..id. */
+  def dijkstraSingleSource(graph: PropertyGraph, source: Long,
+                           orientation: Orientation = Orientation.Natural,
+                           maxRounds: Int = 200,
+                           trackPaths: Boolean = true): DataFrame = {
+    val spark = graph.edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val edges = GraphOps.withWeight(graph.orientedEdges(orientation))
+      .select("src", "dst", "weight")
+      .repartition(parts, col("src")).persist()
+
+    val inf = Double.PositiveInfinity
+    val init = graph.vertices.select("id")
+      .repartition(parts, col("id"))
+      .select(col("id"),
+        when(col("id") === source, lit(0.0)).otherwise(lit(inf)).as("dist"),
+        (col("id") === source).as(SuperstepLoop.ActiveCol))
+
+    val relaxed = SuperstepLoop.run(init, LoopConfig(maxRounds)) { (state, _) =>
+      val candidates = state.filter(col(SuperstepLoop.ActiveCol))
+        .select(col("id").as("src"), col("dist"))
+        .join(edges, "src")
+        .select(col("dst").as("id"), (col("dist") + col("weight")).as("cand"))
+        .groupBy("id").agg(min("cand").as("cand"))
+      state.select("id", "dist").join(candidates, Seq("id"), "left")
+        .select(col("id"), least(col("dist"), coalesce(col("cand"), col("dist"))).as("dist"),
+          (coalesce(col("cand"), lit(inf)) < col("dist")).as(SuperstepLoop.ActiveCol))
+    }
+    val dists = relaxed.state
+      .filter(!col("dist").isNaN && col("dist") =!= inf)
+      .select("id", "dist")
+      .persist()
+    dists.count()
+
+    // Canonical predecessors: min in-neighbor achieving the final distance.
+    val preds = dists.select(col("id").as("src"), col("dist").as("du"))
+      .join(edges, "src")
+      .join(dists.select(col("id").as("dst"), col("dist").as("dv")), "dst")
+      .filter(col("du") + col("weight") === col("dv"))
+      .groupBy(col("dst").as("id")).agg(min(col("src")).as("pred"))
+    val withPred = dists.join(preds, Seq("id"), "left")
+      .select(col("id"), col("dist"),
+        when(col("id") === source, lit(null).cast("long")).otherwise(col("pred")).as("pred"))
+      .persist()
+    withPred.count()
+    dists.unpersist(false)
+    edges.unpersist(false)
+    if (!trackPaths) return withPred
+
+    // Iterative path reconstruction: walk each node's predecessor chain,
+    // prepending ancestors until every walk reaches the source. Rounds =
+    // max hop count of any shortest path; each round is one co-partitioned
+    // join against the (id -> pred) forest.
+    val forest = withPred.select(col("id").as("cur0"), col("pred").as("prev"))
+      .repartition(parts, col("cur0")).persist()
+    var walk = withPred
+      .select(col("id"), col("id").as("cur"), array(col("id")).as("path"))
+      .persist()
+    var remaining = walk.filter(col("cur") =!= source).limit(1).count()
+    var rounds = 0
+    while (remaining > 0 && rounds < maxRounds) {
+      rounds += 1
+      val next = walk
+        .join(forest, walk("cur") === forest("cur0"), "left")
+        .select(col("id"),
+          when(col("cur") === source || col("prev").isNull, col("cur"))
+            .otherwise(col("prev")).as("cur"),
+          when(col("cur") === source || col("prev").isNull, col("path"))
+            .otherwise(concat(array(col("prev")), col("path"))).as("path"))
+        .persist()
+      remaining = next.filter(col("cur") =!= source).limit(1).count()
+      walk.unpersist(false)
+      walk = GraftSqlCompat.truncatePlan(next)
+    }
+    forest.unpersist(false)
+    val out = withPred.join(walk.select("id", "path"), "id")
+      .select("id", "dist", "pred", "path")
+    out
+  }
+
+  /** Source-target Dijkstra: one row (source, target, totalCost, nodeIds)
+    * or empty when unreachable — `gds.shortestPath.dijkstra.stream` shape. */
+  def dijkstra(graph: PropertyGraph, source: Long, target: Long,
+               orientation: Orientation = Orientation.Natural,
+               maxRounds: Int = 200): DataFrame = {
+    dijkstraSingleSource(graph, source, orientation, maxRounds)
+      .filter(col("id") === target)
+      .select(lit(source).as("sourceNode"), col("id").as("targetNode"),
+        col("dist").as("totalCost"), col("path").as("nodeIds"))
+  }
+
+  /** Yen's K shortest loopless paths between source and target
+    * (reference: algo/src/main/java/org/neo4j/gds/paths/yens/Yens.java:1-492).
+    * Classic spur-node formulation over repeated filtered Dijkstra runs;
+    * each candidate spur search is a full distributed relaxation, so this is
+    * intended for small k (the reference's use case too). Returns
+    * (index, totalCost, nodeIds). */
+  def yens(graph: PropertyGraph, source: Long, target: Long, k: Int,
+           orientation: Orientation = Orientation.Natural,
+           maxRounds: Int = 50): DataFrame = {
+    val spark = graph.edges.sparkSession
+    import spark.implicits._
+    val base = GraphOps.withWeight(graph.orientedEdges(orientation))
+      .select("src", "dst", "weight").persist()
+    val baseGraph = PropertyGraph(graph.vertices, base)
+
+    def pathOf(g: PropertyGraph): Option[(Double, Seq[Long])] =
+      dijkstra(g, source, target, Orientation.Natural, maxRounds)
+        .collect().headOption.map(r => (r.getDouble(2), r.getSeq[Long](3)))
+
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[Long])]
+    val candidates = scala.collection.mutable.SortedSet.empty[(Double, Seq[Long])](
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Implicits.seqOrdering[Seq, Long]))
+
+    pathOf(baseGraph).foreach(accepted += _)
+    var exhausted = accepted.isEmpty
+    while (!exhausted && accepted.size < k) {
+      val (_, prevPath) = accepted.last
+      // spur from every prefix of the last accepted path
+      for (i <- 0 until prevPath.length - 1) {
+        val spur     = prevPath(i)
+        val rootPath = prevPath.take(i + 1)
+        // edges leaving the spur node used by any accepted path with the
+        // same root prefix are banned; root nodes (except spur) removed
+        val banned = accepted.collect {
+          case (_, p) if p.length > i + 1 && p.take(i + 1) == rootPath =>
+            (p(i), p(i + 1))
+        }.toSet
+        val rootSet = rootPath.dropRight(1).toSet
+        val noRoot =
+          if (rootSet.isEmpty) lit(true)
+          else !col("src").isInCollection(rootSet.toSeq) &&
+               !col("dst").isInCollection(rootSet.toSeq)
+        val notBanned =
+          if (banned.isEmpty) lit(true)
+          else banned.toSeq.map { case (a, b) =>
+            !(col("src") === a && col("dst") === b) }.reduce(_ && _)
+        val filteredEdges = base.filter(noRoot && notBanned)
+        val spurGraph = PropertyGraph(graph.vertices, filteredEdges)
+        dijkstra(spurGraph, spur, target, Orientation.Natural, maxRounds)
+          .collect().headOption.foreach { r =>
+            val spurCost = r.getDouble(2)
+            val spurPath = r.getSeq[Long](3)
+            val rootCost = rootPath.indices.dropRight(1).map { j =>
+              // cost of edge rootPath(j) -> rootPath(j+1): min weight edge
+              base.filter(col("src") === rootPath(j) && col("dst") === rootPath(j + 1))
+                .agg(min("weight")).first().getDouble(0)
+            }.sum
+            val full = (rootCost + spurCost, rootPath.dropRight(1) ++ spurPath)
+            if (!accepted.exists(_._2 == full._2)) candidates += full
+          }
+      }
+      if (candidates.isEmpty) exhausted = true
+      else {
+        val best = candidates.head
+        candidates -= best
+        accepted += best
+      }
+    }
+    base.unpersist(false)
+    accepted.zipWithIndex.toSeq
+      .map { case ((c, p), i) => (i, c, p) }
+      .toDF("index", "totalCost", "nodeIds")
+  }
+}

@@ -60,12 +60,29 @@ final class Gds(val spark: SparkSession) {
     def subgraph(name: String, newName: String,
                  vertexPredicate: String = "true", edgePredicate: String = "true"): PropertyGraph =
       catalog.create(newName, catalog.get(name).subgraph(vertexPredicate, edgePredicate))
+    /** `gds.graph.create.cypher` analogue: arbitrary SQL projections define
+      * the vertex/edge tables (reference: proc/catalog/.../GraphCreateProc
+      * .java:115-131 + CypherFactory — query-based projection). The SQL runs
+      * against whatever tables/views are registered in the Spark session;
+      * vertexSql must yield (id, ...), edgeSql (src, dst[, weight, ...]). */
+    def createFromSql(name: String, vertexSql: String, edgeSql: String,
+                      aggregation: EdgeAggregation = EdgeAggregation.None): PropertyGraph =
+      catalog.create(name, PropertyGraph(spark.sql(vertexSql), spark.sql(edgeSql)), aggregation)
     def streamNodeProperties(name: String, properties: Seq[String]): DataFrame =
       catalog.get(name).vertices.select("id", properties: _*)
+    /** `gds.graph.streamRelationshipProperties`: relationship triples with
+      * the requested property columns (reference: proc/catalog/.../
+      * GraphStreamRelationshipPropertiesProc.java). */
+    def streamRelationshipProperties(name: String, properties: Seq[String]): DataFrame =
+      catalog.get(name).edges.select((Seq("src", "dst") ++ properties).map(col): _*)
     def writeNodeProperties(name: String, dir: String, properties: Seq[String]): Unit =
       Modes.write(catalog.get(name).vertices.select("id", properties: _*), dir)
     def removeNodeProperty(name: String, property: String): PropertyGraph =
       catalog.removeNodeProperty(name, property)
+    def writeRelationship(name: String, relType: String, result: DataFrame): PropertyGraph =
+      catalog.addRelationships(name, relType, result)
+    def deleteRelationships(name: String, relType: String): PropertyGraph =
+      catalog.deleteRelationships(name, relType)
   }
 
   object pageRank {
@@ -135,7 +152,118 @@ final class Gds(val spark: SparkSession) {
     def stream(name: String, cfg: NodeSimilarityConfig = NodeSimilarityConfig()): DataFrame =
       NodeSimilarity.run(catalog.get(name), cfg)
   }
+
+  object louvain {
+    def stream(name: String, cfg: LouvainConfig = LouvainConfig()): DataFrame =
+      Louvain.run(catalog.get(name), cfg).communities
+    def stats(name: String, cfg: LouvainConfig = LouvainConfig()): (Double, Row) = {
+      val r = Louvain.run(catalog.get(name), cfg)
+      (r.modularity, Modes.communityStats(r.communities, "communityId"))
+    }
+    def mutate(name: String, property: String, cfg: LouvainConfig = LouvainConfig()): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name, cfg))
+    def write(name: String, dir: String, cfg: LouvainConfig = LouvainConfig()): Unit =
+      Modes.write(stream(name, cfg), dir)
+  }
+
+  /** gds.beta.modularityOptimization: one Louvain level of local moves. */
+  object modularityOptimization {
+    def stream(name: String, cfg: LouvainConfig = LouvainConfig(maxLevels = 1)): DataFrame =
+      Louvain.run(catalog.get(name), cfg.copy(maxLevels = 1)).communities
+    def stats(name: String, cfg: LouvainConfig = LouvainConfig(maxLevels = 1)): Double =
+      Louvain.run(catalog.get(name), cfg.copy(maxLevels = 1)).modularity
+  }
+
+  object betweenness {
+    def stream(name: String, sources: Option[DataFrame] = None,
+               orientation: Orientation = Orientation.Natural): DataFrame =
+      MsBfs.betweenness(catalog.get(name), sources, orientation)
+    def stats(name: String): Row = Modes.stats(stream(name), "centrality")
+    def mutate(name: String, property: String): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name))
+  }
+
+  object closeness {
+    def stream(name: String, wassermanFaust: Boolean = false): DataFrame =
+      MsBfs.closeness(catalog.get(name), wassermanFaust = wassermanFaust)
+    object harmonic {
+      def stream(name: String): DataFrame = MsBfs.harmonic(catalog.get(name))
+    }
+  }
+
+  object scc {
+    def stream(name: String): DataFrame = Scc.run(catalog.get(name))
+    def stats(name: String): Row = Modes.communityStats(stream(name), "sccId")
+  }
+
+  object shortestPath {
+    object dijkstra {
+      def stream(name: String, source: Long, target: Long): DataFrame =
+        ShortestPaths.dijkstra(catalog.get(name), source, target)
+    }
+    object yens {
+      def stream(name: String, source: Long, target: Long, k: Int): DataFrame =
+        ShortestPaths.yens(catalog.get(name), source, target, k)
+    }
+  }
+
+  object allShortestPaths {
+    /** Single-source variant with full path tracking. */
+    def stream(name: String, source: Long): DataFrame =
+      ShortestPaths.dijkstraSingleSource(catalog.get(name), source)
+  }
+
+  object bfs {
+    def stream(name: String, source: Long): DataFrame =
+      Paths.bfs(catalog.get(name), source)
+  }
+
+  object dfs {
+    def stream(name: String, source: Long, maxDepth: Int = Int.MaxValue,
+               targets: Set[Long] = Set.empty): DataFrame =
+      Paths.dfs(catalog.get(name), source, maxDepth = maxDepth, targets = targets)
+  }
+
+  object randomWalk {
+    def stream(name: String, steps: Int, walksPerNode: Int = 1, seed: Long = 42L): DataFrame =
+      Paths.randomWalks(catalog.get(name), steps, walksPerNode, seed)
+  }
+
+  object hits {
+    def stream(name: String, cfg: HitsConfig = HitsConfig()): DataFrame =
+      Hits.run(catalog.get(name), cfg)
+  }
+
+  object k1coloring {
+    def stream(name: String): DataFrame = K1Coloring.run(catalog.get(name))
+  }
+
+  /** `.estimate` mode (reference: proc/common/.../AlgoBaseProc.java:262-299 +
+    * MemoryEstimations): a cheap size model instead of a run. Spark manages
+    * executor memory itself, so the estimate reports the logical state
+    * footprint an algorithm's per-superstep working set implies. */
+  object estimate {
+    def forAlgorithm(name: String, algorithm: String): EstimateResult = {
+      val g = catalog.get(name)
+      val n = g.vertices.count()
+      val m = g.edges.count()
+      // bytes per row: 8B id + payload doubles; shuffle rows for messages
+      val (stateBytes, msgBytes) = algorithm match {
+        case "pageRank" | "eigenvector"    => (n * 32L, m * 16L)
+        case "wcc" | "labelPropagation"    => (n * 24L, m * 16L)
+        case "triangleCount"               => (n * 16L, m * 24L * 2)
+        case "betweenness"                 => (n * n * 28L, n * m * 16L) // all sources
+        case "louvain"                     => (n * 32L, m * 24L)
+        case _                             => (n * 32L, m * 16L)
+      }
+      EstimateResult(n, m, stateBytes + msgBytes,
+        (stateBytes + msgBytes) * 3) // x3 headroom: exec + shuffle + cache
+    }
+  }
 }
+
+final case class EstimateResult(nodeCount: Long, relationshipCount: Long,
+                                bytesMin: Long, bytesMax: Long)
 
 object Gds {
   def apply(spark: SparkSession): Gds = new Gds(spark)

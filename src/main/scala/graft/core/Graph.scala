@@ -182,4 +182,35 @@ final class GraphCatalog {
     graphs.put(name, g2)
     g2
   }
+
+  /** `gds.graph.writeRelationship` analogue (reference: proc/catalog/src/
+    * main/java/org/neo4j/gds/catalog/GraphWriteRelationshipProc.java):
+    * attach an algorithm's relationship result (e.g. nodeSimilarity pairs)
+    * to the in-session graph as new edges tagged `rel_type`. `result` must
+    * have (src, dst) plus optional property columns. */
+  def addRelationships(name: String, relType: String, result: DataFrame): PropertyGraph = {
+    val g = get(name)
+    import org.apache.spark.sql.functions.lit
+    val existing =
+      if (g.edges.columns.contains("rel_type")) g.edges
+      else g.edges.withColumn("rel_type", lit(null).cast("string"))
+    val incoming = result.withColumn("rel_type", lit(relType))
+    // unionByName null-fills columns present on only one side
+    val g2 = g.copy(edges = existing.unionByName(incoming, allowMissingColumns = true))
+    graphs.put(name, g2)
+    g2
+  }
+
+  /** `gds.graph.deleteRelationships` analogue (GraphDeleteRelationshipProc):
+    * drop every edge of the given rel_type. Untyped edges are kept. */
+  def deleteRelationships(name: String, relType: String): PropertyGraph = {
+    val g = get(name)
+    import org.apache.spark.sql.functions.col
+    val g2 =
+      if (!g.edges.columns.contains("rel_type")) g
+      else g.copy(edges = g.edges.filter(
+        col("rel_type").isNull || col("rel_type") =!= relType))
+    graphs.put(name, g2)
+    g2
+  }
 }

@@ -104,6 +104,56 @@ class GdsApiSpec extends AnyFunSuite with SparkTestBase {
     assert(back.vertices.count() == 4 && back.edges.count() == 1)
   }
 
+  test("relationship catalog ops: write, stream, delete") {
+    val gds = graft.api.Gds(spark)
+    val g = weightedGraphOf(4, Seq((0L, 1L, 1.0), (1L, 2L, 2.0)))
+    gds.graph.create("relops", g.vertices, g.edges)
+    import spark.implicits._
+    val sims = Seq((0L, 2L, 0.9)).toDF("src", "dst", "similarity")
+    gds.graph.writeRelationship("relops", "SIMILAR", sims)
+    assert(gds.catalog.get("relops").edges.count() == 3)
+    val streamed = gds.graph.streamRelationshipProperties("relops", Seq("rel_type"))
+    assert(streamed.filter(col("rel_type") === "SIMILAR").count() == 1)
+    gds.graph.deleteRelationships("relops", "SIMILAR")
+    assert(gds.catalog.get("relops").edges.count() == 2)
+    gds.graph.drop("relops")
+  }
+
+  test("createFromSql projects a graph from SQL (cypher-projection analogue)") {
+    val gds = graft.api.Gds(spark)
+    spark.range(5).toDF("id").createOrReplaceTempView("relops_nodes")
+    val g = gds.graph.createFromSql("sqlproj",
+      "SELECT id FROM relops_nodes",
+      "SELECT id AS src, (id + 1) % 5 AS dst FROM relops_nodes")
+    assert(g.vertices.count() == 5 && g.edges.count() == 5)
+    gds.graph.drop("sqlproj")
+  }
+
+  test("estimate mode reports a footprint without running") {
+    val gds = graft.api.Gds(spark)
+    val g = graphOf(10, Seq(0L -> 1L, 1L -> 2L))
+    gds.graph.create("est", g.vertices, g.edges)
+    val e = gds.estimate.forAlgorithm("est", "pageRank")
+    assert(e.nodeCount == 10 && e.relationshipCount == 2)
+    assert(e.bytesMin > 0 && e.bytesMax >= e.bytesMin)
+    gds.graph.drop("est")
+  }
+
+  test("new algorithm facades run end-to-end through the catalog") {
+    val gds = graft.api.Gds(spark)
+    val g = graphOf(4, Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 3L))
+    gds.graph.create("algos", g.vertices, g.edges)
+    assert(gds.louvain.stream("algos").count() == 4)
+    assert(gds.betweenness.stream("algos").count() == 4)
+    assert(gds.closeness.stream("algos").count() == 4)
+    assert(gds.closeness.harmonic.stream("algos").count() == 4)
+    assert(gds.scc.stream("algos").count() == 4)
+    val sp = gds.shortestPath.dijkstra.stream("algos", 0L, 3L).collect()
+    assert(sp.length == 1 && sp(0).getSeq[Long](3) == Seq(0L, 1L, 2L, 3L))
+    assert(gds.dfs.stream("algos", 0L).count() == 4)
+    gds.graph.drop("algos")
+  }
+
   test("orientation views: reverse and undirected degrees") {
     val g = graphOf(3, Seq(0L -> 1L, 0L -> 2L))
     val natural = collectMap(g.degrees(Orientation.Natural), "id", "degree")

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.algo.ShortestPaths
+
+class ShortestPathsSpec extends AnyFunSuite with SparkTestBase {
+
+  // diamond with a shortcut: 0->1 (1), 0->2 (4), 1->2 (1), 1->3 (5), 2->3 (1)
+  // shortest 0->3 is 0,1,2,3 cost 3
+  private lazy val g = weightedGraphOf(4, Seq(
+    (0L, 1L, 1.0), (0L, 2L, 4.0), (1L, 2L, 1.0), (1L, 3L, 5.0), (2L, 3L, 1.0)))
+
+  test("single-source dijkstra: distances, predecessors and paths") {
+    val r = ShortestPaths.dijkstraSingleSource(g, source = 0L).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), Option(x.get(2)), x.getSeq[Long](3)))).toMap
+    assert(r(0L) == ((0.0, None, Seq(0L))))
+    assert(r(1L) == ((1.0, Some(0L), Seq(0L, 1L))))
+    assert(r(2L) == ((2.0, Some(1L), Seq(0L, 1L, 2L))))
+    assert(r(3L) == ((3.0, Some(2L), Seq(0L, 1L, 2L, 3L))))
+  }
+
+  test("canonical predecessor: min in-neighbor wins ties") {
+    // two equal-cost routes to 3: 0->1->3 and 0->2->3, all weights 1
+    val tie = weightedGraphOf(4, Seq(
+      (0L, 1L, 1.0), (0L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0)))
+    val r = ShortestPaths.dijkstraSingleSource(tie, 0L).collect()
+      .map(x => x.getLong(0) -> x.getSeq[Long](3)).toMap
+    assert(r(3L) == Seq(0L, 1L, 3L), "tie must resolve via the smaller predecessor")
+  }
+
+  test("source-target dijkstra emits one row; unreachable emits none") {
+    val row = ShortestPaths.dijkstra(g, 0L, 3L).collect()
+    assert(row.length == 1)
+    assert(row(0).getDouble(2) == 3.0)
+    assert(row(0).getSeq[Long](3) == Seq(0L, 1L, 2L, 3L))
+    assert(ShortestPaths.dijkstra(g, 3L, 0L).collect().isEmpty)
+  }
+
+  test("yens k-shortest loopless paths, ranked by cost") {
+    val r = ShortestPaths.yens(g, 0L, 3L, k = 3).collect()
+      .map(x => (x.getDouble(1), x.getSeq[Long](2)))
+    assert(r.length == 3)
+    assert(r(0) == ((3.0, Seq(0L, 1L, 2L, 3L))))
+    assert(r(1) == ((5.0, Seq(0L, 2L, 3L))))
+    assert(r(2) == ((6.0, Seq(0L, 1L, 3L))))
+  }
+}
