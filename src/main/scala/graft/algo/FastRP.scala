@@ -1,0 +1,112 @@
+package graft.algo
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{GraphOps, PropertyGraph}
+
+/** FastRP node embeddings (Chen et al., "Fast and Accurate Network
+  * Embeddings via Very Sparse Random Projection").
+  *
+  * Reference: algo/src/main/java/org/neo4j/gds/embeddings/fastrp/
+  * FastRP.java:1-435 — very-sparse random base vectors (entries
+  * ±sqrt(3) w.p. 1/6 each, else 0), optionally scaled by
+  * degree^normalizationStrength; L rounds of neighbour MEAN aggregation,
+  * each round L2-normalized; final embedding = Σ_i iterationWeights(i) ·
+  * h^(i).
+  *
+  * Spark formulation: the embedding is an `array<double>` column. A round
+  * is two map-side-combined aggregations — explode to (dst, dim, value)
+  * and sum per (dst, dim) (the message combiner), then re-assemble the
+  * array per dst — followed by pure-expression L2 normalization
+  * (`aggregate`/`transform`, codegen'd, no UDFs). Base vectors are
+  * deterministic hash functions of (id, dim, seed) — reruns and resumes
+  * produce identical embeddings with no stored random state. Shuffle keys
+  * are (dst, dim) then dst: skewed in-degree hubs spread across `d`
+  * dimension sub-keys in the first aggregation, which is exactly the salted
+  * split a power-law graph needs (SURVEY §4).
+  */
+object FastRP {
+
+  /** Reference defaults: FastRPBaseConfig.java (iterationWeights
+    * [0.0, 1.0, 1.0], normalizationStrength 0). */
+  final case class FastRPConfig(
+    embeddingDimension: Int = 64,
+    iterationWeights: Seq[Double] = Seq(0.0, 1.0, 1.0),
+    normalizationStrength: Double = 0.0,
+    seed: Long = 42L)
+
+  /** ±sqrt(3) w.p. 1/6 each, else 0 — derived from xxhash64(seed, id, dim)
+    * mod 6 (very-sparse Achlioptas projection, FastRP.java:198-210). */
+  private def baseEntry(id: Column, dim: Column, seed: Long): Column = {
+    val h = pmod(xxhash64(lit(seed), id, dim), lit(6L))
+    val s3 = math.sqrt(3.0)
+    when(h === 0L, lit(s3)).when(h === 1L, lit(-s3)).otherwise(lit(0.0))
+  }
+
+  private def l2normalize(vec: Column): Column = {
+    val norm = sqrt(aggregate(vec, lit(0.0), (a, v) => a + v * v))
+    transform(vec, v => when(norm === 0.0, lit(0.0)).otherwise(v / norm))
+  }
+
+  /** (id, embedding: array<double>) for every vertex. */
+  def run(graph: PropertyGraph, cfg: FastRPConfig = FastRPConfig()): DataFrame = {
+    val spark = graph.edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val d = cfg.embeddingDimension
+    val dims = sequence(lit(0), lit(d - 1))
+
+    val vertices = graph.vertices.select("id").repartition(parts, col("id")).persist()
+    val edges = GraphOps.withWeight(graph.edges)
+      .select("src", "dst", "weight")
+      .repartition(parts, col("src")).persist()
+    // mean aggregation denominator: weighted in-degree of dst
+    val inDeg = edges.groupBy(col("dst").as("id"))
+      .agg(sum("weight").as("indeg"))
+
+    // base vectors, degree^normalizationStrength scaled (FastRP.java:176-191
+    // uses the node's degree; 0 strength = no scaling)
+    val degScale =
+      if (cfg.normalizationStrength == 0.0) lit(1.0)
+      else pow(coalesce(col("indeg"), lit(0.0)), lit(cfg.normalizationStrength))
+    var state = vertices.join(inDeg, Seq("id"), "left")
+      .select(col("id"), l2normalize(
+        transform(dims, dim => baseEntry(col("id"), dim, cfg.seed) * degScale))
+        .as("h"))
+
+    // accumulated Σ_i w_i · h^(i)
+    var acc: DataFrame = vertices.select(col("id"),
+      transform(dims, _ => lit(0.0)).as("emb"))
+
+    cfg.iterationWeights.foreach { w =>
+      // one round: h'(v) = L2norm( Σ_{u->v} weight·h(u) / indeg(v) )
+      val msgs = state.join(edges, col("id") === col("src"))
+        .select(col("dst"), posexplode(col("h")).as(Seq("dim", "hv")), col("weight"))
+        .groupBy("dst", "dim").agg(sum(col("hv") * col("weight")).as("s"))
+      val gathered = msgs.groupBy(col("dst").as("id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"))
+        .select(col("id"), transform(col("ds"), e => e.getField("s")).as("hsum"))
+      val next = vertices
+        .join(gathered, Seq("id"), "left")
+        .join(inDeg, Seq("id"), "left")
+        .select(col("id"), when(col("hsum").isNull, transform(dims, _ => lit(0.0)))
+          .otherwise(l2normalize(transform(col("hsum"), v => v / col("indeg"))))
+          .as("h"))
+        .persist()
+      next.count()
+      val prevState = state
+      val prevAcc = acc
+      state = next
+      acc = acc.join(state, "id")
+        .select(col("id"), zip_with(col("emb"), col("h"),
+          (a, b) => a + lit(w) * b).as("emb"))
+        .persist()
+      acc.count()
+      prevState.unpersist(false)
+      prevAcc.unpersist(false)
+    }
+    val out = acc.select(col("id"), col("emb").as("embedding"))
+    vertices.unpersist(false)
+    edges.unpersist(false)
+    out
+  }
+}

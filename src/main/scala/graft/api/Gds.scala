@@ -238,6 +238,29 @@ final class Gds(val spark: SparkSession) {
     def stream(name: String): DataFrame = K1Coloring.run(catalog.get(name))
   }
 
+  /** gds.fastRP — sparse-random-projection node embeddings
+    * (reference: algo/.../embeddings/fastrp/FastRP.java). */
+  object fastRP {
+    def stream(name: String, cfg: FastRP.FastRPConfig = FastRP.FastRPConfig()): DataFrame =
+      FastRP.run(catalog.get(name), cfg)
+    def mutate(name: String, property: String,
+               cfg: FastRP.FastRPConfig = FastRP.FastRPConfig()): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name, cfg))
+  }
+
+  /** gds.knn — approximate k-nearest-neighbours by NN-descent over a vector
+    * node property (reference: algo/.../similarity/knn/Knn.java). */
+  object knn {
+    /** Over a catalog graph's vertex property (array<float/double>). */
+    def stream(name: String, property: String,
+               cfg: Knn.KnnConfig = Knn.KnnConfig()): DataFrame =
+      Knn.run(catalog.get(name).vertices, cfg, idCol = "id", vecCol = property).neighbors
+    /** Over a free-standing vectors DataFrame. */
+    def streamVectors(vectors: DataFrame, cfg: Knn.KnnConfig = Knn.KnnConfig(),
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      Knn.run(vectors, cfg, idCol, vecCol).neighbors
+  }
+
   /** `.estimate` mode (reference: proc/common/.../AlgoBaseProc.java:262-299 +
     * MemoryEstimations): a cheap size model instead of a run. Spark manages
     * executor memory itself, so the estimate reports the logical state

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.algo.FastRP
+import graft.core.{Orientation, PropertyGraph}
+
+/** FastRP contract tests (reference behavior:
+  * algo/src/test/java/org/neo4j/gds/embeddings/fastrp/FastRPTest.java —
+  * dimension/normalization invariants and determinism; exact values are
+  * RNG-specific and not portable). */
+class FastRpSpec extends AnyFunSuite with SparkTestBase {
+
+  // small connected graph, undirected view
+  lazy val graph: PropertyGraph = {
+    val g = graphOf(8, Seq((0L,1L),(1L,2L),(2L,3L),(3L,4L),(4L,5L),(5L,6L),(6L,7L),(7L,0L),(0L,4L)))
+    PropertyGraph(g.vertices, g.orientedEdges(Orientation.Undirected))
+  }
+
+  def norms(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.select(col("id"),
+        sqrt(aggregate(col("embedding"), lit(0.0), (a, v) => a + v * v)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("dimension and determinism") {
+    val cfg = FastRP.FastRPConfig(embeddingDimension = 16)
+    val a = FastRP.run(graph, cfg)
+    assert(a.select(size(col("embedding"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(16))
+    val b = FastRP.run(graph, cfg)
+    val da = a.select("id", "embedding").collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val db = b.select("id", "embedding").collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(da == db)
+  }
+
+  test("single unit iteration weight gives unit-norm embeddings") {
+    val got = FastRP.run(graph, FastRP.FastRPConfig(embeddingDimension = 32,
+      iterationWeights = Seq(1.0)))
+    norms(got).foreach { case (id, n) =>
+      assert(math.abs(n - 1.0) < 1e-9, s"node $id norm $n")
+    }
+  }
+
+  test("isolated node embeds to the zero vector") {
+    val g = graphOf(3, Seq((0L, 1L), (1L, 0L))) // node 2 isolated
+    val got = FastRP.run(g, FastRP.FastRPConfig(embeddingDimension = 8))
+    assert(norms(got)(2L) == 0.0)
+  }
+
+  test("different seeds give different embeddings") {
+    val a = FastRP.run(graph, FastRP.FastRPConfig(embeddingDimension = 16, seed = 1L))
+    val b = FastRP.run(graph, FastRP.FastRPConfig(embeddingDimension = 16, seed = 2L))
+    val da = a.select("id", "embedding").collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val db = b.select("id", "embedding").collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(da != db)
+  }
+
+  test("structurally equivalent nodes get identical aggregated neighborhoods") {
+    // two leaves hanging off the same hub see the same neighbor multiset,
+    // so their ROUND-1 aggregation (weights [1,0]) must only differ through
+    // their own base vectors — verify symmetry via the hub-only graph where
+    // both leaves aggregate exactly the hub's base vector.
+    val g = graphOf(3, Seq((1L, 0L), (2L, 0L), (0L, 1L), (0L, 2L)))
+    val got = FastRP.run(g, FastRP.FastRPConfig(embeddingDimension = 16,
+      iterationWeights = Seq(1.0)))
+    val m = got.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // leaves 1 and 2 both aggregate only node 0's base vector → identical
+    assert(m(1L) == m(2L))
+  }
+}
