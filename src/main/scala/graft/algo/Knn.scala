@@ -72,8 +72,32 @@ object Knn {
   def run(vectors: DataFrame, cfg: KnnConfig = KnnConfig(),
           idCol: String = "vec_id", vecCol: String = "embedding"): KnnResult = {
     val spark = vectors.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val n0 = vectors.select(col(idCol)).count()
+    // shuffle width sized by DATA (like AQE coalescing would): ~1k-vector
+    // partitions floor the per-round scheduling cost on small corpora while
+    // large corpora keep the session's full width
+    val parts = math.max(2, math.min(sessionParts, (n0 / 1000L).toInt + 1))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try runWithParts(vectors, cfg, idCol, vecCol, parts)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def runWithParts(vectors: DataFrame, cfg: KnnConfig,
+                           idCol: String, vecCol: String, parts: Int): KnnResult = {
+    val spark = vectors.sparkSession
+    // store L2-NORMALIZED double vectors once: cosine then degrades to a
+    // single dot product per candidate pair instead of three interpreted
+    // higher-order aggregates (dot + two norms) — the hot path is pair
+    // scoring, so this is a ~3x cut of the per-round CPU
+    val rawNorm = sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+    val vecs = vectors
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .select(col("id"),
+        when(rawNorm === 0.0, col("v"))
+          .otherwise(transform(col("v"), x => x / rawNorm)).as("v"))
       .repartition(parts, col("id")).persist()
     val n = vecs.count()
     val k = math.min(cfg.k.toLong, math.max(0L, n - 1)).toInt
@@ -88,12 +112,17 @@ object Knn {
     val index = denseIndex(vecs, "id").persist()
     index.count()
 
+    // vectors are broadcast while the corpus fits an executor (the cheap
+    // side of a few-hundred-MB bound); past that, co-partitioned hash joins
+    val vside = if (n <= 500000L) broadcast(vecs) else vecs
     def withSim(pairs: DataFrame): DataFrame =
       pairs
-        .join(vecs.select(col("id"), col("v").as("va")), "id")
-        .join(vecs.select(col("id").as("neighbor_id"), col("v").as("vb")), "neighbor_id")
+        .join(vside.select(col("id"), col("v").as("va")), "id")
+        .join(vside.select(col("id").as("neighbor_id"), col("v").as("vb")), "neighbor_id")
         .select(col("id"), col("neighbor_id"),
-          graft.core.Num.roundTo(Ann.cosine(col("va"), col("vb")), 5).as("similarity"))
+          graft.core.Num.roundTo(
+            aggregate(zip_with(col("va"), col("vb"), (p, q) => p * q),
+              lit(0.0), (acc, x) => acc + x), 5).as("similarity"))
 
     // Pseudo-random init (Knn.java initializeRandomNeighbors): k distinct
     // hash-derived partners per node, skewed around the self index to avoid
@@ -110,10 +139,14 @@ object Knn {
       scored.withColumn("rank", row_number().over(topW)).filter(col("rank") <= k)
 
     // `cachedState` holds storage; `state` is the PLAN-TRUNCATED view handed
-    // to the next round — each round references the state three times (fwd,
-    // rev, incumbent union), so without truncation the logical plan grows
-    // 3^rounds and the driver dies planning, not executing.
-    var cachedState = topK(withSim(initPairs)).persist()
+    // to the next round — each round references the state several times, so
+    // without truncation the logical plan grows exponentially and the
+    // driver dies planning, not executing. State carries an `is_new` flag:
+    // Dong et al.'s incremental rule — only entries that ENTERED a list
+    // last round generate candidates (new x all), so round cost tracks the
+    // churn, not the full list size, and late rounds are nearly free.
+    var cachedState = topK(withSim(initPairs))
+      .withColumn("is_new", lit(true)).persist()
     cachedState.count()
     var state = org.apache.spark.sql.GraftSqlCompat.truncatePlan(cachedState)
 
@@ -122,16 +155,20 @@ object Knn {
     val stopAt = math.max(1L, (cfg.deltaThreshold * n * k).toLong)
     while (!converged && iter < cfg.maxIterations) {
       iter += 1
-      // forward lists + hash-sampled reverse lists (capped at k per node)
-      val fwd = state.select(col("id").as("x"), col("neighbor_id").as("nb"))
-      val rev = state.select(col("neighbor_id").as("x"), col("id").as("nb"))
+      // adjacency entries (owner x, member nb): forward lists + hash-capped
+      // reverse lists, each tagged with the member entry's is_new flag
+      val fwd = state.select(col("id").as("x"), col("neighbor_id").as("nb"), col("is_new"))
+      val rev = state.select(col("neighbor_id").as("x"), col("id").as("nb"), col("is_new"))
         .withColumn("__rk", row_number().over(
           Window.partitionBy("x").orderBy(xxhash64(col("nb"), lit(iter.toLong)))))
         .filter(col("__rk") <= k).drop("__rk")
-      val adj = fwd.unionByName(rev).distinct().persist()
-      // local join: entries sharing an owner x propose each other
-      val local = adj.join(adj.withColumnRenamed("nb", "nb2"), "x")
-        .filter(col("nb") < col("nb2"))
+      val adj = fwd.unionByName(rev)
+        .groupBy("x", "nb").agg(max("is_new").as("is_new")).persist()
+      // incremental local join: a pair is proposed only when at least one
+      // side is new — (new x all), both orientations collapsed by nb < nb2
+      val allSide = adj.select(col("x"), col("nb").as("nb2"), col("is_new").as("new2"))
+      val local = adj.join(allSide, "x")
+        .filter(col("nb") < col("nb2") && (col("is_new") || col("new2")))
         .select(col("nb").as("id"), col("nb2").as("neighbor_id"))
       // random joins (Knn.java:randomJoins): hash-derived fresh partners per
       // node each round — the escape hatch from local-join stagnation that
@@ -152,9 +189,11 @@ object Knn {
           .unionByName(scored.select(col("neighbor_id").as("id"),
             col("id").as("neighbor_id"), col("similarity")))
           .groupBy("id", "neighbor_id").agg(max("similarity").as("similarity"))
-      ).persist()
-      val updates = next.join(state.select("id", "neighbor_id"),
-        Seq("id", "neighbor_id"), "left_anti").count()
+      ).join(state.select(col("id"), col("neighbor_id"), lit(false).as("__old")),
+          Seq("id", "neighbor_id"), "left")
+        .withColumn("is_new", col("__old").isNull).drop("__old")
+        .persist()
+      val updates = next.filter(col("is_new")).count()
       cachedState.unpersist(false)
       adj.unpersist(false)
       scored.unpersist(false)

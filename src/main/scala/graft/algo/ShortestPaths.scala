@@ -118,6 +118,111 @@ object ShortestPaths {
         col("dist").as("totalCost"), col("path").as("nodeIds"))
   }
 
+  /** Haversine great-circle distance (same formula as the reference's
+    * A* heuristic, algo/src/main/java/org/neo4j/gds/paths/astar/
+    * AStar.java:79-97): radius defaults to Earth's in km — weights must be
+    * in the same unit for the heuristic to stay admissible. */
+  def haversine(lat1: org.apache.spark.sql.Column, lon1: org.apache.spark.sql.Column,
+                lat2: Double, lon2: Double, radius: Double = 6371.0): org.apache.spark.sql.Column = {
+    val dLat = radians(lat1 - lit(lat2)) / 2.0
+    val dLon = radians(lon1 - lit(lon2)) / 2.0
+    val a = pow(sin(dLat), 2.0) +
+      cos(radians(lat1)) * cos(radians(lit(lat2))) * pow(sin(dLon), 2.0)
+    lit(2.0 * radius) * asin(sqrt(a))
+  }
+
+  /** A* source-target shortest path (reference: algo/src/main/java/org/
+    * neo4j/gds/paths/astar/AStar.java:1-218 — Dijkstra + haversine
+    * heuristic over latitude/longitude node properties).
+    *
+    * The sequential reference uses the heuristic to ORDER its priority
+    * queue; the frontier-relaxation formulation has no queue, so the
+    * heuristic instead PRUNES: once the target is reached with bound B,
+    * any node with dist(u) + h(u) > B can never improve the target (h is
+    * an admissible lower bound on the remaining cost), so it stops
+    * relaxing — the same work-skipping A* buys, expressed as a broadcast
+    * scalar bound folded into each superstep. Result is identical to
+    * Dijkstra's (both exact); only the explored frontier shrinks. */
+  def astar(graph: PropertyGraph, source: Long, target: Long,
+            latCol: String = "latitude", lonCol: String = "longitude",
+            radius: Double = 6371.0,
+            orientation: Orientation = Orientation.Natural,
+            maxRounds: Int = 200): DataFrame = {
+    val spark = graph.edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val tRow = graph.vertices.filter(col("id") === target)
+      .select(col(latCol).cast("double"), col(lonCol).cast("double")).collect()
+    require(tRow.nonEmpty, s"target $target not in vertices")
+    val (tLat, tLon) = (tRow(0).getDouble(0), tRow(0).getDouble(1))
+
+    val edges = GraphOps.withWeight(graph.orientedEdges(orientation))
+      .select("src", "dst", "weight")
+      .repartition(parts, col("src")).persist()
+    val inf = Double.PositiveInfinity
+    val init = graph.vertices
+      .select(col("id"),
+        haversine(col(latCol).cast("double"), col(lonCol).cast("double"),
+          tLat, tLon, radius).as("h"))
+      .repartition(parts, col("id"))
+      .select(col("id"), when(col("id") === source, lit(0.0)).otherwise(lit(inf)).as("dist"),
+        col("h"), (col("id") === source).as(SuperstepLoop.ActiveCol))
+
+    val relaxed = SuperstepLoop.run(init, LoopConfig(maxRounds)) { (state, _) =>
+      val bound = state.filter(col("id") === target)
+        .agg(min(col("dist")).as("bound"))
+      val candidates = state.filter(col(SuperstepLoop.ActiveCol))
+        .select(col("id").as("src"), col("dist"))
+        .join(edges, "src")
+        .select(col("dst").as("id"), (col("dist") + col("weight")).as("cand"))
+        .groupBy("id").agg(min("cand").as("cand"))
+      state.select("id", "dist", "h").join(candidates, Seq("id"), "left")
+        .crossJoin(broadcast(bound))
+        .select(col("id"),
+          least(col("dist"), coalesce(col("cand"), col("dist"))).as("dist"),
+          col("h"),
+          (coalesce(col("cand"), lit(inf)) < col("dist") &&
+            least(col("dist"), col("cand")) + col("h") <= coalesce(col("bound"), lit(inf)))
+            .as(SuperstepLoop.ActiveCol))
+    }
+    val settled = relaxed.state.filter(col("dist") =!= inf).select("id", "dist").persist()
+    settled.count()
+    // predecessor forest over settled nodes, then walk the target's chain
+    val preds = settled.select(col("id").as("src"), col("dist").as("du"))
+      .join(edges, "src")
+      .join(settled.select(col("id").as("dst"), col("dist").as("dv")), "dst")
+      .filter(col("du") + col("weight") === col("dv"))
+      .groupBy(col("dst").as("id")).agg(min(col("src")).as("pred"))
+      .persist()
+    preds.count()
+    edges.unpersist(false)
+    val costOpt = settled.filter(col("id") === target).collect()
+      .headOption.map(_.getDouble(1))
+    // walk the single target chain: one pushed-down point lookup per hop —
+    // O(path length) driver memory, never the whole forest
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var curOpt: Option[Long] = costOpt.map(_ => target)
+    var hops = 0
+    while (curOpt.isDefined && hops <= maxRounds) {
+      hops += 1
+      val cur = curOpt.get
+      chain.prepend(cur)
+      curOpt =
+        if (cur == source) None
+        else preds.filter(col("id") === cur).collect().headOption.map(_.getLong(1))
+    }
+    settled.unpersist(false)
+    preds.unpersist(false)
+    import spark.implicits._
+    costOpt match {
+      case Some(c) if chain.headOption.contains(source) =>
+        Seq((source, target, c, chain.toSeq))
+          .toDF("sourceNode", "targetNode", "totalCost", "nodeIds")
+      case _ =>
+        Seq.empty[(Long, Long, Double, Seq[Long])]
+          .toDF("sourceNode", "targetNode", "totalCost", "nodeIds")
+    }
+  }
+
   /** Yen's K shortest loopless paths between source and target
     * (reference: algo/src/main/java/org/neo4j/gds/paths/yens/Yens.java:1-492).
     * Classic spur-node formulation over repeated filtered Dijkstra runs;

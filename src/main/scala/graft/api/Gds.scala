@@ -205,6 +205,11 @@ final class Gds(val spark: SparkSession) {
       def stream(name: String, source: Long, target: Long, k: Int): DataFrame =
         ShortestPaths.yens(catalog.get(name), source, target, k)
     }
+    object astar {
+      def stream(name: String, source: Long, target: Long,
+                 latCol: String = "latitude", lonCol: String = "longitude"): DataFrame =
+        ShortestPaths.astar(catalog.get(name), source, target, latCol, lonCol)
+    }
   }
 
   object allShortestPaths {

@@ -36,6 +36,39 @@ class ShortestPathsSpec extends AnyFunSuite with SparkTestBase {
     assert(ShortestPaths.dijkstra(g, 3L, 0L).collect().isEmpty)
   }
 
+  test("astar equals dijkstra on a geometric graph and prunes hopeless detours") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // nodes on the equator at lon 0..4 degrees (~111.2 km apart), a chain
+    // 0..4 plus an expensive direct edge and a far-north decoy branch
+    val verts = Seq(
+      (0L, 0.0, 0.0), (1L, 0.0, 1.0), (2L, 0.0, 2.0), (3L, 0.0, 3.0),
+      (4L, 0.0, 4.0), (5L, 60.0, 0.0)
+    ).toDF("id", "latitude", "longitude")
+    def hv(lon1: Double, lon2: Double): Double = 6371.0 * 2 *
+      math.asin(math.abs(math.sin(math.toRadians(lon1 - lon2) / 2)))
+    val es = Seq(
+      (0L, 1L, hv(0, 1) + 1), (1L, 2L, hv(1, 2) + 1), (2L, 3L, hv(2, 3) + 1),
+      (3L, 4L, hv(3, 4) + 1), (0L, 4L, hv(0, 4) + 500.0),
+      (0L, 5L, 7000.0), (5L, 4L, 7000.0)
+    ).toDF("src", "dst", "weight")
+    val geo = graft.core.PropertyGraph(verts, es)
+    val a = ShortestPaths.astar(geo, 0L, 4L).collect()
+    val d = ShortestPaths.dijkstra(geo, 0L, 4L).collect()
+    assert(a.length == 1 && d.length == 1)
+    assert(math.abs(a(0).getDouble(2) - d(0).getDouble(2)) < 1e-9)
+    assert(a(0).getSeq[Long](3) == d(0).getSeq[Long](3))
+    assert(a(0).getSeq[Long](3) == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("astar unreachable target emits no rows") {
+    import spark.implicits._
+    val verts = Seq((0L, 0.0, 0.0), (1L, 0.0, 1.0)).toDF("id", "latitude", "longitude")
+    val es = Seq((1L, 0L, 5.0)).toDF("src", "dst", "weight")
+    val geo = graft.core.PropertyGraph(verts, es)
+    assert(ShortestPaths.astar(geo, 0L, 1L).collect().isEmpty)
+  }
+
   test("yens k-shortest loopless paths, ranked by cost") {
     val r = ShortestPaths.yens(g, 0L, 3L, k = 3).collect()
       .map(x => (x.getDouble(1), x.getSeq[Long](2)))
