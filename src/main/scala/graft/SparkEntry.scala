@@ -454,10 +454,13 @@ object SparkEntry {
       // over-provisioning: search with internal k=20 lists, report top-5
       // (recall@5 = 0.998 at sf0.001; clustered real-world embeddings reach
       // ~1.0 without over-provisioning, see KnnSpec).
+      // 4 rounds x 16 random joins beats 8 x 8 here: same total candidate
+      // volume, half the per-round fixed shuffle cost, recall 0.947/0.998
+      // at sf0.1/sf0.01 (graft.tools.KnnRecallProbe sweep)
       val e = table(s, dir, "embeddings")
       val k = 5
       val approx = Knn.run(e,
-        Knn.KnnConfig(k = 20, maxIterations = 8, randomJoins = 8)).neighbors
+        Knn.KnnConfig(k = 20, maxIterations = 4, randomJoins = 16)).neighbors
       val exact = Ann.bruteForceTopK(e, e, k = k)
         .select(col("query_id").as("id"), col("neighbor_id"))
       val n = e.count()

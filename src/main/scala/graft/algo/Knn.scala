@@ -74,10 +74,11 @@ object Knn {
     val spark = vectors.sparkSession
     val sessionParts = spark.sessionState.conf.numShufflePartitions
     val n0 = vectors.select(col(idCol)).count()
-    // shuffle width sized by DATA (like AQE coalescing would): ~1k-vector
-    // partitions floor the per-round scheduling cost on small corpora while
-    // large corpora keep the session's full width
-    val parts = math.max(2, math.min(sessionParts, (n0 / 1000L).toInt + 1))
+    // shuffle width sized by WORK, not rows: candidate scoring is
+    // O(n·(2k)²·dim), so ~100 vectors per partition keeps every core busy
+    // on mid-size corpora while tiny unit-test corpora still skip the
+    // 32-way scheduling overhead; large corpora use the session's width
+    val parts = math.max(2, math.min(sessionParts, (n0 / 100L).toInt + 1))
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try runWithParts(vectors, cfg, idCol, vecCol, parts)
@@ -121,8 +122,8 @@ object Knn {
         .join(vside.select(col("id").as("neighbor_id"), col("v").as("vb")), "neighbor_id")
         .select(col("id"), col("neighbor_id"),
           graft.core.Num.roundTo(
-            aggregate(zip_with(col("va"), col("vb"), (p, q) => p * q),
-              lit(0.0), (acc, x) => acc + x), 5).as("similarity"))
+            graft.functions.VectorExprs.vecDot(col("va"), col("vb")), 5)
+            .as("similarity"))
 
     // Pseudo-random init (Knn.java initializeRandomNeighbors): k distinct
     // hash-derived partners per node, skewed around the self index to avoid

@@ -12,14 +12,12 @@ import org.apache.spark.sql.expressions.Window
 object Ann {
 
   /** Cosine similarity between two array<float/double> columns, computed in
-    * double precision. 0.0 when either norm is 0 (instead of NaN/err). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
-  }
+    * double precision. 0.0 when either norm is 0 (instead of NaN/err).
+    * One codegen'd pass per pair (graft.functions.VecCosine) — the
+    * composable aggregate/zip_with form is CodegenFallback and its
+    * interpreter overhead dominates candidate scoring. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.vecCosine(a, b)
 
   /** Exact top-k cosine neighbors for each query vector, brute force.
     * The query set is broadcast (it is the small side by construction), so

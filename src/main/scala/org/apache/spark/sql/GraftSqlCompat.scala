@@ -12,6 +12,14 @@ package org.apache.spark.sql
   * periodic RDD-lineage cuts.)
   */
 object GraftSqlCompat {
+  /** Bridge for registering custom Catalyst expressions as Columns (the
+    * Column(expr) constructor is no longer public in Spark 4's split API). */
+  def toColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def toExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** New DataFrame over df's physical rows with a depth-1 logical plan.
     * The input should be persisted and materialized: the wrapper re-executes
     * its physical plan on access, which is then a cache read.
