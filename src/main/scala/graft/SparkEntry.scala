@@ -268,9 +268,15 @@ object SparkEntry {
       Hits.run(denseGraph(s, dir), HitsConfig(maxIterations = 3))
         .select(col("id"), graft.core.Num.roundTo(col("hub"), 6).as("hub"),
           graft.core.Num.roundTo(col("auth"), 6).as("auth")).orderBy("id")),
-    "q_k1coloring_valid" -> ((s, dir) => {
-      // validity projection: number of monochromatic edges must be 0
-      val g = denseGraph(s, dir)
+    "q_k1coloring_valid" -> ((s, _) => {
+      // validity projection: number of monochromatic edges must be 0.
+      // Runs on the power-law synthetic web graph (hubs included — they
+      // exercise the capped neighbor-color gather): the near-complete
+      // 300-node dense graph is a coloring pathology (chromatic number ~n
+      // forces ~n sequential conflict rounds in ANY parallel greedy
+      // scheme, the reference's included) and says nothing about scale.
+      val edges = graft.io.Pages.synthEdges(s, 20000L, density = 2.0)
+      val g = graft.core.PropertyGraph(GraphOps.verticesOf(edges), edges)
       val colors = K1Coloring.run(g)
       val und = graft.core.GraphOps.canonicalUndirected(g.edges)
       val conflicts = und

@@ -18,9 +18,30 @@ final case class K1ColoringConfig(maxIterations: Int = 30, numPartitions: Option
   */
 object K1Coloring {
 
-  def run(graph: PropertyGraph, cfg: K1ColoringConfig = K1ColoringConfig()): DataFrame = {
+  def run(graph: PropertyGraph, cfg: K1ColoringConfig = K1ColoringConfig()): DataFrame =
+    runWithStats(graph, cfg)._1
+
+  def runWithStats(graph: PropertyGraph,
+                   cfg: K1ColoringConfig): (DataFrame, graft.pregel.LoopResult) = {
     val spark = graph.edges.sparkSession
-    val parts = cfg.numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    // Scoped shuffle width sized by DATA (AQE is off inside superstep
+    // loops, so nothing else coalesces): each conflict round is ~6 narrow
+    // shuffle stages whose task-launch cost — not data — floors the round
+    // at small graph sizes. ~50k edges per partition; large graphs keep the
+    // session's width.
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val e0 = graph.edges.count()
+    val parts = cfg.numPartitions.getOrElse(
+      math.max(2, math.min(sessionParts, (e0 / 50000L).toInt + 1)))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try runWithParts(graph, cfg, parts)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def runWithParts(graph: PropertyGraph, cfg: K1ColoringConfig,
+                           parts: Int): (DataFrame, graft.pregel.LoopResult) = {
+    val spark = graph.edges.sparkSession
     val undirected = GraphOps.canonicalUndirected(graph.edges)
     val edges = undirected.select(col("lo").as("src"), col("hi").as("dst"))
       .unionByName(undirected.select(col("hi").as("src"), col("lo").as("dst")))
@@ -31,37 +52,41 @@ object K1Coloring {
       .select(col("id"), lit(0L).as("color"), lit(true).as(SuperstepLoop.ActiveCol))
 
     val result = SuperstepLoop.run(init, LoopConfig(cfg.maxIterations)) { (state, _) =>
-      // neighbor colors per vertex. The gathered set is CAPPED: mex(taken)
-      // can never exceed the number of distinct colors in use, and a greedy
-      // coloring uses at most maxCore+1 colors — far below the cap — so
-      // filtering colors >= 65536 cannot change the mex while bounding the
-      // per-node aggregation state on power-law hubs (a 10M-degree hub would
-      // otherwise materialize its whole neighborhood's color set in one row).
-      val nbrColors = state.select(col("id").as("src"), col("color").as("c"))
-        .join(edges, "src")
-        .select(col("dst").as("id"), col("c"))
-        .filter(col("c") < lit(65536L))
-        .groupBy("id").agg(collect_set("c").as("taken"))
-      // conflicted = my color present among neighbors AND I lose the tie
-      // (higher id recolors). New color = mex(taken).
+      // Frontier-proportional round. Invariant: every monochromatic edge has
+      // at least one ACTIVE (recolored-last-round) endpoint — untouched
+      // vertex pairs were conflict-free before and kept their colors. So
+      // conflict detection only scans edges leaving the active frontier,
+      // and the neighbor-color gather runs only for the losers; round cost
+      // tracks deg(frontier), not |E|, and the shrinking tail rounds are
+      // nearly free.
+      val act = state.filter(col(SuperstepLoop.ActiveCol))
+        .select(col("id").as("src"), col("color").as("c"))
+      // monochromatic edge with an active endpoint: the HIGHER id recolors
+      val losers = act.join(edges, "src")
+        .join(state.select(col("id").as("dst"), col("color").as("c2")), "dst")
+        .filter(col("c") === col("c2"))
+        .select(greatest(col("src"), col("dst")).as("id")).distinct()
+      // neighbor colors for losers only. The gathered set is CAPPED:
+      // mex(taken) can never exceed the number of distinct colors in use,
+      // and a greedy coloring uses at most maxCore+1 colors — far below the
+      // cap — so filtering colors >= 65536 cannot change the mex while
+      // bounding the per-node aggregation state on power-law hubs (a
+      // 10M-degree hub would otherwise materialize its whole neighborhood's
+      // color set in one row).
+      val taken = edges.join(losers.withColumnRenamed("id", "src"), "src")
+        .join(state.select(col("id").as("dst"), col("color").as("nc")), "dst")
+        .filter(col("nc") < lit(65536L))
+        .groupBy(col("src").as("id")).agg(collect_set("nc").as("taken"))
       // mex(taken): fold over the sorted distinct colors — acc counts how
       // many consecutive values 0,1,2,… are present; the first gap stops it.
       val mex = aggregate(sort_array(col("taken")), lit(0L),
         (acc, v) => when(v === acc, acc + 1L).otherwise(acc))
-      // conflict detection: does any LOWER-id neighbor share my color?
-      val conflicts = state.select(col("id").as("src"), col("color").as("c"))
-        .join(edges, "src")
-        .join(state.select(col("id").as("dst"), col("color").as("c2")), "dst")
-        .filter(col("c") === col("c2") && col("src") < col("dst"))
-        .select(col("dst").as("id")).distinct()
-        .withColumn("__conflict", lit(true))
-      state.select("id", "color").join(nbrColors, Seq("id"), "left")
-        .join(conflicts, Seq("id"), "left")
+      state.select("id", "color").join(taken, Seq("id"), "left")
         .select(col("id"),
-          when(col("__conflict"), mex).otherwise(col("color")).as("color"),
-          coalesce(col("__conflict"), lit(false)).as(SuperstepLoop.ActiveCol))
+          when(col("taken").isNotNull, mex).otherwise(col("color")).as("color"),
+          col("taken").isNotNull.as(SuperstepLoop.ActiveCol))
     }
     edges.unpersist(false)
-    result.state.select("id", "color")
+    (result.state.select("id", "color"), result)
   }
 }

@@ -48,7 +48,28 @@ object Louvain {
 
   def run(graph: PropertyGraph, cfg: LouvainConfig = LouvainConfig()): LouvainResult = {
     val spark = graph.edges.sparkSession
-    val parts = cfg.numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    // Scoped shuffle width sized by DATA: each local-move round is ~6
+    // narrow shuffle stages, so at small edge counts task-launch cost —
+    // not data — dominates. ~50k edges per partition; big graphs keep the
+    // session width. (AQE would do this coalescing, but it's off in loops.)
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val e0 = graph.edges.count()
+    val parts = cfg.numPartitions.getOrElse(
+      math.max(2, math.min(sessionParts, (e0 / 50000L).toInt + 1)))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // NOTE: unlike SuperstepLoop, AQE stays ON here — measured 2.8x FASTER
+    // for the local-move rounds (413s vs 148s on the 20k-page probe): the
+    // round's community-total and candidate joins rely on AQE's runtime
+    // broadcast conversion, which the hint-only path can't replicate
+    // because the aggregated sides have no size estimates.
+    try runWithParts(graph, cfg, parts)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def runWithParts(graph: PropertyGraph, cfg: LouvainConfig,
+                           parts: Int): LouvainResult = {
+    val spark = graph.edges.sparkSession
 
     // Symmetric weighted view WITHOUT self-loops (each undirected edge twice)
     // plus per-node self-loop weight (from input loops; later from
@@ -76,10 +97,16 @@ object Louvain {
     var prevQ        = Double.NegativeInfinity
     var done         = false
 
+    // 2m is INVARIANT across levels (coarsening folds intra weight into
+    // self-loops, preserving the total) — computed once, reused by every
+    // level's local moves and modularity job.
+    var m2Known = Double.NaN
+
     while (!done && level < cfg.maxLevels) {
       level += 1
-      val state = localMoves(nodes, sym, self, cfg, parts)
-      val q     = modularityOf(state, sym, self)
+      val (state, anyMoved, m2) = localMoves(nodes, sym, self, cfg, parts, m2Known)
+      m2Known = m2
+      val q = if (m2 == 0.0) 0.0 else modularityGivenM2(state, sym, self, m2)
       modularities :+= q
       if (q - prevQ <= cfg.tolerance && level > 1) {
         level -= 1
@@ -114,12 +141,11 @@ object Louvain {
           .groupBy(col("comm").as("id")).agg(sum("self").as("w"))
           .unionByName(intra)
           .groupBy("id").agg(sum("w").as("self"))
-        val movedAny = state.filter(col("id") =!= col("comm")).limit(1).count() > 0
         sym.unpersist(false)
         sym   = newSym
         self  = newSelf
         nodes = state.select(col("comm").as("id")).distinct()
-        if (!movedAny) done = true
+        if (!anyMoved) done = true
       }
     }
     sym.unpersist(false)
@@ -128,9 +154,11 @@ object Louvain {
     LouvainResult(out, modularities.lastOption.getOrElse(0.0), modularities, level)
   }
 
-  /** Inner local-move loop on one level graph. Returns (id, comm). */
+  /** Inner local-move loop on one level graph.
+    * Returns ((id, comm), whether any node ever moved, 2m). */
   private def localMoves(nodes: DataFrame, sym: DataFrame, self: DataFrame,
-                         cfg: LouvainConfig, parts: Int): DataFrame = {
+                         cfg: LouvainConfig, parts: Int,
+                         m2Known: Double): (DataFrame, Boolean, Double) = {
     val spark = sym.sparkSession
     // k_i = symmetric degree + 2 * self weight; 2m = sum of k
     val deg = nodes
@@ -139,24 +167,45 @@ object Louvain {
       .select(col("id"),
         (coalesce(col("kd"), lit(0.0)) + lit(2.0) * coalesce(col("self"), lit(0.0))).as("k"))
       .repartition(parts, col("id")).persist()
-    val m2Row = deg.agg(sum("k")).first()
-    val m2    = if (m2Row.isNullAt(0)) 0.0 else m2Row.getDouble(0)
-    if (m2 == 0.0) { deg.unpersist(false); return nodes.select(col("id"), col("id").as("comm")) }
+    val m2 =
+      if (!m2Known.isNaN) m2Known
+      else {
+        val m2Row = deg.agg(sum("k")).first()
+        if (m2Row.isNullAt(0)) 0.0 else m2Row.getDouble(0)
+      }
+    if (m2 == 0.0) {
+      deg.unpersist(false)
+      return (nodes.select(col("id"), col("id").as("comm")), false, 0.0)
+    }
 
     var state = deg.select(col("id"), col("id").as("comm"), col("k")).persist()
-    state.count()
-    var iter    = 0
-    var moved   = true
+    val n = state.count()
+    // sym re-keyed by dst once per level: the per-round neighbor-community
+    // gather joins on dst, so this removes an edge-sized exchange per round
+    val symByDst = sym.repartition(parts, col("dst")).persist()
+    var iter     = 0
+    var moved    = true
+    var anyMoved = false
+    var prevDq   = Double.MaxValue
     while (moved && iter < cfg.maxInnerIterations) {
       iter += 1
-      // Community totals from the previous round's assignment.
-      val tot = state.groupBy("comm").agg(sum("k").as("tot"))
-      // Weight from each node to each neighboring community.
-      val wic = sym
+      // Community totals from the previous round's assignment — broadcast
+      // while the level graph is small (communities <= nodes); past ~1M
+      // nodes the totals stay a shuffle join.
+      val tot0 = state.groupBy("comm").agg(sum("k").as("tot"))
+      val tot  = if (n <= 1000000L) broadcast(tot0) else tot0
+      // Weight from each node to each neighboring community, re-keyed by id
+      // BEFORE the aggregation (hash(id) clusters (id, cand) too) so the
+      // downstream per-id join needs no further exchange.
+      val wic = symByDst
         .join(state.select(col("id").as("dst"), col("comm").as("cand")), "dst")
+        .repartition(parts, col("src"))
         .groupBy(col("src").as("id"), col("cand")).agg(sum("weight").as("w"))
       // Candidates = neighboring communities + staying (w = own-community
-      // weight or 0). gain(i->C) = w - k_i * (tot_C - [C==cur]k_i) / m2.
+      // weight or 0). gain(i->C) = w - k_i * (tot_C - [C==cur]k_i) / 2m.
+      // One aggregation yields both the best move and the stay gain (the
+      // stay row is guaranteed by the explicit union), so nothing in the
+      // candidate subtree is evaluated twice.
       val cands = state.select(col("id"), col("comm"), col("k"))
         .join(wic, Seq("id"), "left")
         .select(col("id"), col("comm"), col("k"),
@@ -165,34 +214,80 @@ object Louvain {
           col("comm").as("cand"), lit(0.0).as("w"))) // explicit stay row
         .groupBy("id", "comm", "k", "cand").agg(max("w").as("w"))
         .join(tot.withColumnRenamed("comm", "cand"), "cand")
-        .select(col("id"), col("comm"), col("cand"),
+        .select(col("id"), col("comm"), col("k"), col("cand"),
           (col("w") - col("k") * (col("tot") -
             when(col("cand") === col("comm"), col("k")).otherwise(lit(0.0))) / lit(m2)).as("gain"))
       val best = cands
-        .groupBy("id", "comm")
-        .agg(max(struct(col("gain"), (-col("cand")).as("neg"))).as("b"))
-        .select(col("id"), col("comm"), (-col("b.neg")).as("bestCand"), col("b.gain").as("bestGain"))
-      val stayGain = cands.filter(col("cand") === col("comm"))
-        .select(col("id"), col("gain").as("sg"))
+        .groupBy("id", "comm", "k")
+        .agg(max(struct(col("gain"), (-col("cand")).as("neg"))).as("b"),
+          max(when(col("cand") === col("comm"), col("gain"))).as("sg"))
+        .select(col("id"), col("comm"), col("k"),
+          (-col("b.neg")).as("bestCand"), col("b.gain").as("bestGain"), col("sg"))
       val phase =
         if (cfg.schedule == Schedule.FullSync) lit(true)
         else pmod(xxhash64(col("id"), lit(iter.toLong)), lit(2L)) === lit(0L)
-      val next = best.join(stayGain, "id")
-        .join(state.select(col("id"), col("k")), "id")
+      val wantsMove = col("bestGain") > col("sg") && col("bestCand") =!= col("comm")
+      val doesMove  = phase && wantsMove
+      val next = best
         .select(col("id"),
-          when(phase && col("bestGain") > col("sg") && col("bestCand") =!= col("comm"),
-            col("bestCand")).otherwise(col("comm")).as("comm"),
+          when(doesMove, col("bestCand")).otherwise(col("comm")).as("comm"),
           col("k"),
-          (col("bestGain") > col("sg") && col("bestCand") =!= col("comm")).as("__wants"))
+          // estimated modularity gain REALIZED by this node's move this
+          // round: ΔQ(i: A→B) = 2*(gain(B) - gain(A\i)) / 2m
+          when(doesMove, col("bestGain") - col("sg")).otherwise(lit(0.0)).as("__gain"),
+          wantsMove.as("__wants"))
         .repartition(parts, col("id"))
         .persist()
-      val wants = next.agg(count(when(col("__wants"), lit(1)))).first().getLong(0)
-      moved = wants > 0
+      val tRound = System.nanoTime()
+      // ONE action per round: wants-count + realized-gain sum together
+      val row = next.agg(
+        count(when(col("__wants"), lit(1))),
+        coalesce(sum("__gain"), lit(0.0))).first()
+      val wants   = row.getLong(0)
+      val roundDq = 2.0 * row.getDouble(1) / m2
+      if (sys.env.contains("GRAFT_DEBUG_LOUVAIN"))
+        println(f"LOUVAIN-ROUND iter=$iter wants=$wants dq=$roundDq%.6f n=$n " +
+          f"secs=${(System.nanoTime() - tRound) / 1e9}%.2f")
+      // Reference semantics (beta/modularity/ModularityOptimization.java:
+      // stop when an iteration improves modularity by <= tolerance): the
+      // summed realized per-move gains ARE this round's estimated ΔQ, so no
+      // extra modularity job is needed. Under the Halves schedule one round
+      // realizes only its active half, so the stop needs TWO consecutive
+      // sub-tolerance rounds (complementary halves); wants==0 (nobody can
+      // improve, either half) stops immediately. Tail rounds that shuffle
+      // thousands of churning nodes for a vanishing ΔQ are cut here.
+      moved = wants > 0 && (roundDq > cfg.tolerance || prevDq > cfg.tolerance)
+      prevDq = roundDq
+      anyMoved ||= roundDq > 0.0
       state.unpersist(false)
-      state = GraftSqlCompat.truncatePlan(next.drop("__wants"))
+      state = GraftSqlCompat.truncatePlan(next.drop("__gain", "__wants"))
     }
+    symByDst.unpersist(false)
     deg.unpersist(false)
-    state.select("id", "comm")
+    (state.select("id", "comm", "k"), anyMoved, m2)
+  }
+
+  /** Modularity with a known 2m, as ONE Spark job: the intra-community
+    * weight, self-loop weight, and Σ tot² terms are tagged rows of a single
+    * unioned aggregation (3 driver round-trips saved per level — at small
+    * level-graph sizes job latency, not data, dominates). Expects `state`
+    * to carry `k`. */
+  private def modularityGivenM2(state: DataFrame, sym: DataFrame,
+                                self: DataFrame, m2: Double): Double = {
+    val intra = sym
+      .join(state.select(col("id").as("src"), col("comm").as("c1")), "src")
+      .join(state.select(col("id").as("dst"), col("comm").as("c2")), "dst")
+      .filter(col("c1") === col("c2"))
+      .select(col("weight").as("v"), lit("i").as("t"))
+    val selfW = state.select("id")
+      .join(self, Seq("id"))
+      .select((col("self") * lit(2.0)).as("v"), lit("i").as("t"))
+    val totSq = state.groupBy("comm").agg(sum("k").as("tot"))
+      .select((col("tot") * col("tot")).as("v"), lit("s").as("t"))
+    val row = intra.unionByName(selfW).unionByName(totSq)
+      .agg(coalesce(sum(when(col("t") === "i", col("v"))), lit(0.0)),
+        coalesce(sum(when(col("t") === "s", col("v"))), lit(0.0))).first()
+    row.getDouble(0) / m2 - row.getDouble(1) / (m2 * m2)
   }
 
   /** Modularity of an assignment on a level graph:

@@ -135,11 +135,18 @@ object SuperstepLoop {
     *  - shuffled hash join preferred over sort-merge: the co-partitioned
     *    joins then skip per-superstep sorts of the edge table
     */
-  private def withLoopConf[A](spark: SparkSession, cfg: LoopConfig)(body: => A): A = {
+  private def withLoopConf[A](spark: SparkSession, cfg: LoopConfig)(body: => A): A =
+    withIterationConf(spark, disable = cfg.disableAqeInLoop)(body)
+
+  /** Same conf scoping for iterative algorithms that drive their own loop
+    * (Louvain, kNN): AQE + auto-broadcast + sort-merge preference off for
+    * the loop's jobs, previous settings restored after. */
+  private[graft] def withIterationConf[A](spark: SparkSession,
+                                          disable: Boolean = true)(body: => A): A = {
     val keys = Seq("spark.sql.adaptive.enabled",
       "spark.sql.autoBroadcastJoinThreshold", "spark.sql.join.preferSortMergeJoin")
     val prev = keys.map(k => k -> spark.conf.getOption(k))
-    if (cfg.disableAqeInLoop) {
+    if (disable) {
       spark.conf.set(keys(0), "false")
       spark.conf.set(keys(1), "-1")
       spark.conf.set(keys(2), "false")
