@@ -23,11 +23,23 @@ import graft.pregel.{LoopConfig, SuperstepLoop}
   *       WCC min-id convention); the subgraph shrinks and repeats.
   *
   * Many SCCs peel per outer round (one per color class), so rounds stay
-  * small on real graphs. Emits (id, sccId). */
+  * small on real graphs — but the TAIL does not: once the giant SCC and the
+  * DAG shell are gone, what's left is a long chain of tiny components, and
+  * every extra outer round pays two distributed fixpoints of pure superstep
+  * latency on a handful of rows. Published multistep SCC decompositions
+  * (trim + forward/backward + coloring) hand that tail to a sequential
+  * solver, and so does this one: when the remaining subgraph drops below
+  * `localSolveThreshold` nodes it is collected to the driver and finished
+  * with one pass of iterative Tarjan (exact, and microseconds at that size).
+  * At web scale the distributed rounds shrink the graph by orders of
+  * magnitude per round, so the tail handoff caps outer rounds at O(1).
+  *
+  * Emits (id, sccId), sccId = min member id (matching the WCC convention). */
 object Scc {
 
   def run(graph: PropertyGraph, maxOuterRounds: Int = 1000,
-          maxInnerRounds: Int = 200): DataFrame = {
+          maxInnerRounds: Int = 200,
+          localSolveThreshold: Long = 50000L): DataFrame = {
     val spark = graph.edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
 
@@ -41,8 +53,29 @@ object Scc {
     var outer  = 0
     var remaining = remV.count()
 
+    val debug = sys.env.contains("GRAFT_DEBUG_SCC")
     while (remaining > 0 && outer < maxOuterRounds) {
       outer += 1
+      val tOuter = System.nanoTime()
+      if (remaining <= localSolveThreshold) {
+        // Tail handoff: the remainder fits on the driver — finish with one
+        // sequential Tarjan pass instead of paying fixpoint superstep latency
+        // per surviving component.
+        import spark.implicits._
+        val vs = remV.select("id").collect().map(_.getLong(0))
+        val es = remE.select("src", "dst").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val assign = localTarjan(vs, es)
+        val piece = spark.sparkContext
+          .parallelize(assign, math.max(1, parts / 4))
+          .toDF("id", "sccId").persist()
+        piece.count()
+        pieces ::= piece
+        remaining = 0L
+        if (debug)
+          println(f"SCC-ROUND outer=$outer remaining=0 (local tarjan on " +
+            f"${vs.length} nodes) secs=${(System.nanoTime() - tOuter) / 1e9}%.2f")
+      } else {
       // 0. trim: nodes with no in- or no out-edge in the remaining subgraph
       // are singleton SCCs — peel them in bulk (the standard trim step; it
       // collapses DAG-like regions without paying a coloring fixpoint).
@@ -75,7 +108,10 @@ object Scc {
       val colorInit = remV
         .select(col("id"), col("id").as("color"), lit(true).as(SuperstepLoop.ActiveCol))
         .repartition(parts, col("id"))
-      val colors = SuperstepLoop.run(colorInit, LoopConfig(maxInnerRounds)) { (state, _) =>
+      // Both fixpoints are stable under extra supersteps (a converged state
+      // reproduces itself), so fuse 4 supersteps per driver action.
+      val colors = SuperstepLoop.run(colorInit,
+          LoopConfig(maxInnerRounds, fusedSteps = 4)) { (state, _) =>
         val msgs = state.filter(col(SuperstepLoop.ActiveCol))
           .select(col("id").as("src"), col("color"))
           .join(remE, "src")
@@ -97,7 +133,8 @@ object Scc {
         .select(col("id"), col("color"), (col("id") === col("color")).as("reached"))
         .withColumn(SuperstepLoop.ActiveCol, col("reached"))
         .repartition(parts, col("id"))
-      val reach = SuperstepLoop.run(reachInit, LoopConfig(maxInnerRounds)) { (state, _) =>
+      val reach = SuperstepLoop.run(reachInit,
+          LoopConfig(maxInnerRounds, fusedSteps = 4)) { (state, _) =>
         // reached flows BACKWARD: v reached and edge u->v (same color) => u
         val msgs = state.filter(col(SuperstepLoop.ActiveCol))
           .select(col("id").as("dst"))
@@ -131,6 +168,10 @@ object Scc {
       colors.unpersist(false); colored.unpersist(false); reach.unpersist(false)
       remV = newV; remE = newE
       }
+      if (debug)
+        println(f"SCC-ROUND outer=$outer remaining=$remaining " +
+          f"secs=${(System.nanoTime() - tOuter) / 1e9}%.2f")
+      }
     }
     remV.unpersist(false); remE.unpersist(false)
     val out = pieces match {
@@ -141,5 +182,80 @@ object Scc {
     result.count()
     pieces.foreach(_.unpersist(false))
     result
+  }
+
+  /** Sequential iterative Tarjan (explicit stacks, no recursion) for the
+    * driver-side tail. Returns id -> sccId with sccId = min member id. */
+  private[graft] def localTarjan(nodes: Array[Long],
+                                 edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val n = nodes.length
+    val idx = new java.util.HashMap[Long, Int](n * 2)
+    var i = 0
+    while (i < n) { idx.put(nodes(i), i); i += 1 }
+    // CSR adjacency over the dense index (edges to peeled nodes are dropped)
+    val deg = new Array[Int](n)
+    edges.foreach { case (s, d) =>
+      val si = idx.getOrDefault(s, -1)
+      if (si >= 0 && idx.containsKey(d)) deg(si) += 1
+    }
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val adj = new Array[Int](off(n))
+    val fill = java.util.Arrays.copyOf(off, n)
+    edges.foreach { case (s, d) =>
+      val si = idx.getOrDefault(s, -1)
+      val di = idx.getOrDefault(d, -1)
+      if (si >= 0 && di >= 0) { adj(fill(si)) = di; fill(si) += 1 }
+    }
+    val index   = Array.fill(n)(-1)
+    val low     = new Array[Int](n)
+    val onStack = new Array[Boolean](n)
+    val comp    = new Array[Int](n)
+    val tarStack = new java.util.ArrayDeque[Integer]()
+    val callV = new Array[Int](n)
+    val callE = new Array[Int](n)
+    var counter = 0
+    var ncomp = 0
+    var root = 0
+    while (root < n) {
+      if (index(root) == -1) {
+        var sp = 0
+        callV(0) = root; callE(0) = off(root)
+        index(root) = counter; low(root) = counter; counter += 1
+        tarStack.push(root); onStack(root) = true
+        while (sp >= 0) {
+          val v = callV(sp)
+          if (callE(sp) < off(v + 1)) {
+            val w = adj(callE(sp)); callE(sp) += 1
+            if (index(w) == -1) {
+              index(w) = counter; low(w) = counter; counter += 1
+              tarStack.push(w); onStack(w) = true
+              sp += 1; callV(sp) = w; callE(sp) = off(w)
+            } else if (onStack(w) && index(w) < low(v)) low(v) = index(w)
+          } else {
+            if (low(v) == index(v)) {
+              var w = -1
+              while (w != v) {
+                w = tarStack.pop(); onStack(w) = false; comp(w) = ncomp
+              }
+              ncomp += 1
+            }
+            sp -= 1
+            if (sp >= 0 && low(v) < low(callV(sp))) low(callV(sp)) = low(v)
+          }
+        }
+      }
+      root += 1
+    }
+    val minId = Array.fill(ncomp)(Long.MaxValue)
+    i = 0
+    while (i < n) {
+      val c = comp(i)
+      if (nodes(i) < minId(c)) minId(c) = nodes(i)
+      i += 1
+    }
+    val out = new Array[(Long, Long)](n)
+    i = 0; while (i < n) { out(i) = (nodes(i), minId(comp(i))); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 }

@@ -70,6 +70,28 @@ class CentralitySpec extends AnyFunSuite with SparkTestBase {
     assert(scc == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("scc distributed path (threshold 0) matches local tarjan") {
+    // mixed graph: two cycles, a bridge, a DAG tail — forced through the
+    // coloring/peeling rounds by disabling the local-solve handoff
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L),
+      (3L, 4L), (4L, 3L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 5L))
+    val g = graphOf(8, edges)
+    val dist = Scc.run(g, localSolveThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Scc.localTarjan((0L to 7L).toArray, edges.toArray).toMap
+    assert(dist == local)
+    assert(dist(0L) == 0L && dist(3L) == 3L && dist(5L) == 5L)
+  }
+
+  test("localTarjan: nested cycles and self-contained components") {
+    val nodes = Array(10L, 11L, 12L, 13L, 14L)
+    val edges = Array((10L, 11L), (11L, 10L), (11L, 12L),
+      (12L, 13L), (13L, 14L), (14L, 12L))
+    val m = Scc.localTarjan(nodes, edges).toMap
+    assert(m(10L) == 10L && m(11L) == 10L)
+    assert(m(12L) == 12L && m(13L) == 12L && m(14L) == 12L)
+  }
+
   test("dfs preorder with ascending-neighbor order and exits") {
     //      0 -> {1, 4}; 1 -> {2, 3}; 4 -> {5}
     val g = graphOf(6, Seq((0L, 1L), (0L, 4L), (1L, 2L), (1L, 3L), (4L, 5L)))
