@@ -525,8 +525,94 @@ object SparkEntry {
         max("size").as("giant_size"),
         (max("size") > lit(2700L)).as("has_giant"))
         .select(col("nodes_total"), col("has_giant"))
+    }),
+
+    // --- spanning trees (exact oracle: path-with-heavy-chords graph) ---
+    "q_spanning_tree" -> ((s, dir) => {
+      // path edges weigh 1..7, every chord >= 10: by the cycle property the
+      // unique MST is exactly the path, so the oracle can state it in SQL.
+      val g = pathChordGraph(s, dir)
+      SpanningTree.run(g).treeEdges.orderBy("src", "dst")
+    }),
+    "q_kspanning" -> ((s, dir) => {
+      // k=3: cut the 2 heaviest MST edges (ties by src — both engines use
+      // (weight DESC, src, dst)); clusters labeled by smallest member id.
+      val g = pathChordGraph(s, dir)
+      SpanningTree.kSpanningTree(g, k = 3).orderBy("id")
+    }),
+
+    // --- overlapping communities (SLLPA) ---
+    "q_sllpa" -> ((s, dir) => {
+      // validity projection (speaker draws use engine-specific xxhash64):
+      // every node holds >= 1 community, all labels are real node ids, and
+      // the seeded run is bit-stable across two executions.
+      val g = denseGraph(s, dir)
+      val run1 = Sllpa.run(g, maxIterations = 10)
+      val n = g.vertices.count()
+      val covered = run1.communities.count()
+      val badLabels = run1.communities
+        .select(explode(col("communityIds")).as("id"))
+        .join(g.vertices.select("id"), Seq("id"), "left_anti").count()
+      val digest = (df: DataFrame) =>
+        df.select(col("id"), concat_ws(",", col("communityIds")).as("d"))
+      val rerunDiff = digest(run1.communities)
+        .join(digest(Sllpa.run(g, maxIterations = 10).communities),
+          Seq("id", "d"), "left_anti").count()
+      val spark = s; import spark.implicits._
+      Seq((covered == n, badLabels, rerunDiff))
+        .toDF("all_covered", "invalid_labels", "rerun_diff")
+    }),
+
+    // --- influence maximization (exact oracle on a star at p = 1.0) ---
+    "q_influence_max" -> ((s, dir) => {
+      // hub 0 -> every customer: with p=1 every reverse-reachable set
+      // contains the hub, so RIS-greedy must pick it first and cover
+      // everything — seed list and spread are exactly computable in SQL.
+      val c = table(s, dir, "customer")
+      val edges = c.select(lit(0L).as("src"), col("c_custkey").as("dst"))
+      val g = PropertyGraph(GraphOps.verticesOf(edges), edges)
+      InfluenceMaximization.run(g, k = 2, p = 1.0, samples = 50)
+        .seeds.select(col("rank").as("seed_rank"), col("nodeId"),
+          graft.core.Num.roundTo(col("spreadGain"), 6).as("spread"))
+        .orderBy("seed_rank")
+    }),
+
+    // --- approximate max k-cut ---
+    "q_maxkcut" -> ((s, dir) => {
+      // validity projection (hash-seeded init): assignment covers every
+      // node within k classes, and the local-search cut keeps at least half
+      // the total edge weight (the classic greedy/local-opt guarantee).
+      val g = pathChordGraph(s, dir)
+      val r = MaxKCut.run(g, k = 2, maxIterations = 12)
+      val n = g.vertices.count()
+      val assigned = r.assignments.count()
+      val within = r.assignments.filter(col("community") < 0 || col("community") >= 2).count()
+      val spark = s; import spark.implicits._
+      Seq((assigned == n, within, r.cutWeight >= r.totalWeight / 2.0))
+        .toDF("all_assigned", "out_of_range", "cut_ge_half")
     })
   )
+
+  /** Path 1->2->...->n (weights 1..7) + chords (weights >= 10) over
+    * customer keys — connected, with an analytically known MST. */
+  private def pathChordGraph(s: SparkSession, dir: String): PropertyGraph = {
+    val c = table(s, dir, "customer")
+    val n = c.count() // keys are 0-based: 0..n-1
+    val path = c.filter(col("c_custkey") < n - 1)
+      .select(col("c_custkey").as("src"), (col("c_custkey") + 1).as("dst"),
+        (col("c_custkey") % 7 + 1).cast("double").as("weight"))
+    // dst stays in 0..n-1; n is even at every SF so 3k+1 ≡ k (mod n) has no
+    // solution — no self-loops; parallel-with-path chords lose to min-weight
+    val chords = c.select(col("c_custkey").as("src"),
+        pmod(col("c_custkey") * 3 + 1, lit(n)).as("dst"),
+        (col("c_custkey") % 13 + 10).cast("double").as("weight"))
+    val edges = path.unionByName(chords)
+    PropertyGraph(GraphOps.verticesOf(edges), edges)
+  }
+  private val PathEdgesSql =
+    "SELECT c_custkey AS src, c_custkey + 1 AS dst, " +
+    "CAST(c_custkey % 7 + 1 AS DOUBLE) AS weight FROM customer " +
+    "WHERE c_custkey < (SELECT max(c_custkey) FROM customer)"
 
   // ------------------------------------------------------------------
   // DuckDB oracles
@@ -714,7 +800,29 @@ object SparkEntry {
       s"""WITH RECURSIVE edges AS ($DenseEdgesSql),
          |r(v) AS (SELECT CAST(0 AS BIGINT) AS v
          |         UNION SELECT e.dst FROM r JOIN edges e ON r.v = e.src)
-         |SELECT count(*) AS visited, CAST(0 AS BIGINT) AS first_id FROM r""".stripMargin
+         |SELECT count(*) AS visited, CAST(0 AS BIGINT) AS first_id FROM r""".stripMargin,
+
+    // MST of the path-with-heavy-chords graph IS the path (cycle property:
+    // every chord is the strict maximum of the cycle it closes).
+    "q_spanning_tree" -> s"$PathEdgesSql ORDER BY src, dst",
+    "q_kspanning" ->
+      s"""WITH mst AS ($PathEdgesSql),
+         |cuts AS (SELECT src FROM mst ORDER BY weight DESC, src ASC, dst ASC LIMIT 2),
+         |p AS (SELECT min(src) AS p1, max(src) AS p2 FROM cuts)
+         |SELECT c.c_custkey AS id,
+         |  CAST(CASE WHEN c.c_custkey <= p.p1 THEN 0
+         |            WHEN c.c_custkey <= p.p2 THEN p.p1 + 1
+         |            ELSE p.p2 + 1 END AS BIGINT) AS clusterId
+         |FROM customer c, p ORDER BY id""".stripMargin,
+    "q_sllpa" ->
+      ("SELECT true AS all_covered, CAST(0 AS BIGINT) AS invalid_labels, " +
+       "CAST(0 AS BIGINT) AS rerun_diff"),
+    "q_influence_max" ->
+      """SELECT CAST(1 AS BIGINT) AS seed_rank, CAST(0 AS BIGINT) AS nodeId,
+        |CAST((SELECT count(*) FROM customer) AS DOUBLE) AS spread""".stripMargin,
+    "q_maxkcut" ->
+      ("SELECT true AS all_assigned, CAST(0 AS BIGINT) AS out_of_range, " +
+       "true AS cut_ge_half")
   )
 
   /** Dijkstra oracle: unrolled relaxation for distances (same chain as

@@ -1,0 +1,74 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{Orientation, PropertyGraph}
+import graft.pregel.{LoopConfig, SuperstepLoop}
+
+/** Speaker-Listener Label Propagation (SLPA) — overlapping communities.
+  *
+  * Reference: alpha/alpha-proc/src/main/java/org/neo4j/gds/pregel/
+  * SpeakerListenerLPA.java — a Pregel computation where every node keeps a
+  * memory of labels; each round every neighbor SPEAKS one label drawn from
+  * its memory (probability proportional to its frequency) and the LISTENER
+  * adopts the most frequent label heard, appending it to memory. After the
+  * rounds, labels held with frequency >= `minAssociationStrength` form the
+  * node's (overlapping) community set.
+  *
+  * Spark formulation: memory is an `array<long>` column (bounded by the
+  * iteration count, exactly like the reference's per-node arrays). The
+  * speaker's draw is derandomized with a seeded hash — picking a uniform
+  * index into the memory array IS frequency-proportional sampling — so runs
+  * are reproducible regardless of partitioning. One shuffle per round
+  * (listener-side groupBy with map-side combine); edges symmetrized once and
+  * persisted. */
+object Sllpa {
+
+  final case class Result(communities: DataFrame, ranIterations: Int)
+
+  def run(graph: PropertyGraph, maxIterations: Int = 10,
+          minAssociationStrength: Double = 0.2, seed: Long = 42L): Result = {
+    val spark = graph.edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+
+    val edges = graph.orientedEdges(Orientation.Undirected)
+      .select("src", "dst").filter(col("src") =!= col("dst")).distinct()
+      .repartition(parts, col("src")).persist()
+    edges.count()
+
+    val init = graph.vertices
+      .select(col("id"), array(col("id")).as("memory"),
+              lit(true).as(SuperstepLoop.ActiveCol))
+      .repartition(parts, col("id"))
+
+    val loop = SuperstepLoop.run(init, LoopConfig(maxIterations)) { (state, iter) =>
+      // speaker: uniform index into memory = frequency-proportional draw
+      val spoken = state
+        .select(col("id").as("src"),
+          element_at(col("memory"),
+            (pmod(xxhash64(col("id"), lit(iter), lit(seed)),
+                  size(col("memory"))) + 1).cast("int")).as("label"))
+        .join(edges, "src")
+        .select(col("dst").as("id"), col("label"))
+      // listener: most frequent heard label, ties -> smallest label
+      val heard = spoken.groupBy("id", "label").agg(count(lit(1)).as("cnt"))
+        .groupBy("id").agg(min(struct(-col("cnt"), col("label"))).as("pick"))
+        .select(col("id"), col("pick.label").as("accepted"))
+      state.select("id", "memory").join(heard, Seq("id"), "left")
+        .select(col("id"),
+          when(col("accepted").isNull, col("memory"))
+            .otherwise(concat(col("memory"), array(col("accepted")))).as("memory"),
+          lit(true).as(SuperstepLoop.ActiveCol))
+    }
+
+    // post-process: labels with frequency >= threshold over the memory size
+    val exploded = loop.state
+      .select(col("id"), size(col("memory")).as("m"),
+              explode(col("memory")).as("label"))
+    val communities = exploded
+      .groupBy("id", "m", "label").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= col("m") * lit(minAssociationStrength))
+      .groupBy("id").agg(sort_array(collect_list("label")).as("communityIds"))
+    Result(communities, loop.ranIterations)
+  }
+}
