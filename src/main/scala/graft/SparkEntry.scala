@@ -448,6 +448,34 @@ object SparkEntry {
       Seq((nodes, badDims, nonFinite, unstable))
         .toDF("nodes", "bad_dims", "non_finite", "digest_mismatch")
     }),
+    "q_node2vec" -> ((s, dir) => {
+      // validity projection (walks hash-seeded, Word2Vec SGD engine-specific;
+      // neither is SQL-replayable): every consecutive walk transition is a
+      // real edge, every node starts walksPerNode walks, embeddings have the
+      // configured dimension, are finite, and cover every walked node.
+      val g = denseGraph(s, dir)
+      val cfg = Node2Vec.Node2VecConfig(embeddingDimension = 16,
+        walkLength = 6, walksPerNode = 2, returnFactor = 0.5,
+        inOutFactor = 2.0, windowSize = 3, rejectionRounds = 4)
+      val r = Node2Vec.run(g, cfg)
+      val walks = r.walks
+      val trans = walks.select(col("walkId"), col("step"), col("nodeId"))
+        .join(walks.select(col("walkId"), (col("step") - 1).as("step"),
+          col("nodeId").as("next")), Seq("walkId", "step"))
+      val invalid = trans.join(
+          g.edges.select(col("src").as("nodeId"), col("dst").as("next")).distinct(),
+          Seq("nodeId", "next"), "left_anti").count()
+      val nWalks = walks.filter(col("step") === 0).count()
+      val badDims = r.embeddings.filter(size(col("embedding")) =!= 16).count()
+      val nonFinite = r.embeddings.filter(exists(col("embedding"),
+        v => isnan(v) || v === Double.PositiveInfinity || v === Double.NegativeInfinity)).count()
+      val missing = walks.select(col("nodeId").as("id")).distinct()
+        .join(r.embeddings, Seq("id"), "left_anti").count()
+      val spark = s; import spark.implicits._
+      Seq((invalid, nWalks, badDims, nonFinite, missing))
+        .toDF("invalid_transitions", "walks", "bad_dims", "non_finite",
+          "missing_embeddings")
+    }),
     "q_knn" -> ((s, dir) => {
       // NN-descent recall vs the (oracle-verified, see q_ann_topk) exact
       // brute-force top-k: >= 0.9 per the reference's quality bar. The
@@ -767,6 +795,12 @@ object SparkEntry {
     "q_simhash_neardup" -> "SELECT CAST(0 AS BIGINT) AS missed_true_pairs",
     "q_knn" ->
       "SELECT (SELECT count(*) FROM embeddings) AS nodes, true AS recall_ok",
+    "q_node2vec" ->
+      s"""WITH edges AS ($DenseEdgesSql), $NodesSql
+         |SELECT CAST(0 AS BIGINT) AS invalid_transitions,
+         |  (SELECT count(*) FROM nodes) * 2 AS walks,
+         |  CAST(0 AS BIGINT) AS bad_dims, CAST(0 AS BIGINT) AS non_finite,
+         |  CAST(0 AS BIGINT) AS missing_embeddings""".stripMargin,
     "q_fastrp" ->
       s"""WITH edges AS ($DenseEdgesSql), $NodesSql
          |SELECT (SELECT count(*) FROM nodes) AS nodes,

@@ -217,8 +217,11 @@ object SpanningTree {
     // membership = nodes of the (possibly restricted) tree
     val nodes = r.treeEdges.select(col("src").as("id"))
       .unionByName(r.treeEdges.select(col("dst").as("id"))).distinct()
+    // a spanning forest is the maximum-diameter case (a path graph's tree IS
+    // the path) — hash-min WCC would need O(n) rounds; star contraction is
+    // O(log n) regardless of diameter
     val sub = PropertyGraph(nodes, kept)
-    Wcc.run(sub).components
+    Wcc.runStar(sub).components
       .select(col("id"), col("componentId").as("clusterId"))
   }
 }

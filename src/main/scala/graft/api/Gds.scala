@@ -253,6 +253,17 @@ final class Gds(val spark: SparkSession) {
       catalog.mutateNodeProperty(name, property, stream(name, cfg))
   }
 
+  /** gds.node2vec — biased second-order random walks + skip-gram embeddings
+    * (reference: algo/.../embeddings/node2vec/Node2Vec.java). */
+  object node2vec {
+    def stream(name: String,
+               cfg: Node2Vec.Node2VecConfig = Node2Vec.Node2VecConfig()): DataFrame =
+      Node2Vec.run(catalog.get(name), cfg).embeddings
+    def mutate(name: String, property: String,
+               cfg: Node2Vec.Node2VecConfig = Node2Vec.Node2VecConfig()): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name, cfg))
+  }
+
   /** gds.knn — approximate k-nearest-neighbours by NN-descent over a vector
     * node property (reference: algo/.../similarity/knn/Knn.java). */
   object knn {
@@ -264,6 +275,75 @@ final class Gds(val spark: SparkSession) {
     def streamVectors(vectors: DataFrame, cfg: Knn.KnnConfig = Knn.KnnConfig(),
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
       Knn.run(vectors, cfg, idCol, vecCol).neighbors
+  }
+
+  /** gds.alpha.spanningTree / gds.alpha.kSpanningTree (reference:
+    * alpha/.../impl/spanningTrees/{Prim,KSpanningTree}.java). */
+  object spanningTree {
+    def stream(name: String, startNode: Option[Long] = None,
+               minimize: Boolean = true): DataFrame =
+      SpanningTree.run(catalog.get(name), startNode, minimize).treeEdges
+    def kmax(name: String, k: Int, startNode: Option[Long] = None): DataFrame =
+      SpanningTree.kSpanningTree(catalog.get(name), k, startNode, minimize = false)
+    def kmin(name: String, k: Int, startNode: Option[Long] = None): DataFrame =
+      SpanningTree.kSpanningTree(catalog.get(name), k, startNode, minimize = true)
+  }
+
+  /** gds.alpha.sllpa — speaker-listener LPA, overlapping communities
+    * (reference: alpha/alpha-proc/.../pregel/SpeakerListenerLPA.java). */
+  object sllpa {
+    def stream(name: String, maxIterations: Int = 10,
+               minAssociationStrength: Double = 0.2): DataFrame =
+      Sllpa.run(catalog.get(name), maxIterations, minAssociationStrength).communities
+  }
+
+  /** gds.alpha.influenceMaximization — RIS greedy seed selection
+    * (reference: alpha/.../impl/influenceMaximization/{CELF,Greedy}.java). */
+  object influenceMaximization {
+    def stream(name: String, seedSetSize: Int, propagationProbability: Double = 0.1,
+               monteCarloSimulations: Int = 200): DataFrame =
+      InfluenceMaximization.run(catalog.get(name), seedSetSize,
+        propagationProbability, monteCarloSimulations).seeds
+  }
+
+  /** gds.alpha.maxkcut (reference: alpha/.../impl/approxmaxkcut/ApproxMaxKCut.java). */
+  object maxkcut {
+    def stream(name: String, k: Int = 2, iterations: Int = 8): DataFrame =
+      MaxKCut.run(catalog.get(name), k, iterations).assignments
+  }
+
+  /** gds.alpha.scaleProperties (reference: algo-common/.../scaling/ScalarScaler.java). */
+  object scaleProperties {
+    def mutate(name: String, property: String, scaler: Scaler): PropertyGraph = {
+      val g = catalog.get(name)
+      val scaled = Scaler.apply(scaler,
+        g.vertices.select(col("id"), col(property).cast("double").as(property)),
+        property)
+      catalog.mutateNodeProperty(name, s"${property}_scaled",
+        scaled.withColumnRenamed(property, s"${property}_scaled"))
+    }
+  }
+
+  /** gds.alpha.triangles — stream actual (a,b,c) triples
+    * (reference: alpha/.../impl/triangle/TriangleStream.java). */
+  object triangles {
+    def stream(name: String): DataFrame = TriangleCount.triangleStream(catalog.get(name))
+  }
+
+  /** gds.alpha.collapsePath.mutate (reference: alpha/.../impl/walking/CollapsePath.java). */
+  object collapsePath {
+    def mutate(name: String, relType: String, hops: Int): PropertyGraph = {
+      val g = catalog.get(name)
+      val collapsed = Paths.collapsePath(Seq.fill(hops)(g.edges))
+      catalog.addRelationships(name, relType, collapsed)
+    }
+  }
+
+  /** gds.alpha.shortestPath.deltaStepping — single-source distances
+    * (reference: alpha/.../impl/ShortestPathDeltaStepping.java). */
+  object deltaStepping {
+    def stream(name: String, source: Long): DataFrame =
+      Paths.sssp(catalog.get(name), source)
   }
 
   /** `.estimate` mode (reference: proc/common/.../AlgoBaseProc.java:262-299 +

@@ -38,7 +38,7 @@ object MemBwProbe {
 
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 200000000L
-    for (c <- Seq(2, 8, 32)) {
+    for (c <- args.drop(1).headOption.map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 2, 4, 8, 16, 32))) {
       val secs = run(c, rows)
       println(f"MEMBW cores=$c rows=$rows secs=$secs%.3f rows_per_sec=${rows / secs}%.0f")
     }

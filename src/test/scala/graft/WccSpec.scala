@@ -58,6 +58,34 @@ class WccSpec extends AnyFunSuite with SparkTestBase {
     assert(comps.values.toSet == Set(0L))
   }
 
+  test("star contraction: same labels as hash-min on the fixture graph") {
+    val r = Wcc.runStar(graph)
+    val expected = collectLongMap(Wcc.run(graph).components, "id", "componentId")
+    assert(collectLongMap(r.components, "id", "componentId") == expected)
+    assert(r.didConverge)
+  }
+
+  test("star contraction: 512-node path converges in O(log n) rounds") {
+    // localSolveThreshold = 0 forces the fully-distributed loop
+    val line = graphOf(512, (0L until 511L).map(i => i -> (i + 1)))
+    val r = Wcc.runStar(line, WccConfig(maxSteps = 30, localSolveThreshold = 0L))
+    val comps = collectLongMap(r.components, "id", "componentId")
+    assert(comps.values.toSet == Set(0L), s"labels ${comps.values.toSet}")
+    assert(r.didConverge, s"did not converge in ${r.ranIterations} rounds")
+    assert(r.ranIterations <= 15, s"took ${r.ranIterations} rounds")
+  }
+
+  test("star contraction: two paths split by a removed edge") {
+    val edges = (0L until 99L).filter(_ != 49L).map(i => i -> (i + 1))
+    for (threshold <- Seq(0L, 100000L)) { // distributed and local-tail paths
+      val r = Wcc.runStar(graphOf(100, edges),
+        WccConfig(localSolveThreshold = threshold))
+      val comps = collectLongMap(r.components, "id", "componentId")
+      assert((0L to 49L).forall(comps(_) == 0L))
+      assert((50L to 99L).forall(comps(_) == 50L))
+    }
+  }
+
   test("seeded incremental mode keeps seed component ids") {
     import spark.implicits._
     val vs = Seq((0L, 100L), (1L, 100L), (2L, 100L), (3L, 200L), (4L, 200L))
