@@ -73,6 +73,25 @@ object SparkEntry {
   private val NodesSql =
     "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)"
 
+  /** Two-cluster graph with separable one-hot-ish features: 300 nodes,
+    * cluster = (id < 150), intra-cluster ring + chord edges. The learnable
+    * structure the ML pipeline queries train on; deterministic and
+    * expressible in SQL. */
+  private def mlGraph(s: SparkSession): PropertyGraph = {
+    val n = 300L; val half = 150L
+    val verts = s.range(n).select(col("id"),
+      array((col("id") < half).cast("double"),
+            (col("id") >= half).cast("double"),
+            (col("id") % 7).cast("double") / 7.0).as("emb"),
+      when(col("id") < half, 0L).otherwise(1L).as("cls"))
+    val base = when(col("id") < half, lit(0L)).otherwise(lit(half))
+    val ring  = s.range(n).select(col("id").as("src"),
+      (base + pmod(col("id") - base + 1, lit(half))).as("dst"))
+    val chord = s.range(n).select(col("id").as("src"),
+      (base + pmod(col("id") - base + 7, lit(half))).as("dst"))
+    PropertyGraph(verts, ring.unionByName(chord))
+  }
+
   // ------------------------------------------------------------------
   // Oracle SQL generators (loop-unrolled iterative algorithms)
   // ------------------------------------------------------------------
@@ -448,6 +467,70 @@ object SparkEntry {
       Seq((nodes, badDims, nonFinite, unstable))
         .toDF("nodes", "bad_dims", "non_finite", "digest_mismatch")
     }),
+    "q_node_classification" -> ((s, dir) => {
+      // strong per-node oracle: one-hot separable features => multiclass LR
+      // must recover the exact labeling rule (id<150 -> 0 else 1)
+      val g = mlGraph(s)
+      val m = graft.ml.NodeClassification.train(g, "emb", "cls")
+      graft.ml.NodeClassification.predict(g, "emb", m)
+        .select(col("id"), col("predictedClass").as("predicted_class"))
+    }),
+    "q_link_prediction" -> ((s, dir) => {
+      // validity projection: model quality bounds + structural properties of
+      // the top-N scored pairs (the exact ranking depends on GD arithmetic,
+      // but on one-hot cluster features every learned top pair must be
+      // intra-cluster and not an existing edge)
+      val g = mlGraph(s)
+      val m = graft.ml.LinkPrediction.train(g, "emb")
+      val top = graft.ml.LinkPrediction.predict(g, m, "emb", 50).persist()
+      val badCluster = top.filter((col("src") < 150) =!= (col("dst") < 150)).count()
+      val existing = top.join(g.edges.select("src", "dst"), Seq("src", "dst"),
+        "left_semi").count()
+      val badProb = top.filter(col("probability") < 0.0 ||
+        col("probability") > 1.0 || isnan(col("probability"))).count()
+      val nTop = top.count()
+      top.unpersist(false)
+      val spark = s; import spark.implicits._
+      Seq((nTop, badCluster, existing, badProb,
+           m.trainAccuracy > 0.8, m.testAccuracy > 0.7))
+        .toDF("top_pairs", "cross_cluster", "already_edges", "bad_prob",
+          "train_acc_ok", "test_acc_ok")
+    }),
+    "q_graphsage" -> ((s, dir) => {
+      // validity projection (SGD arithmetic engine-specific): dims, unit
+      // norm, finiteness, determinism of the distributed forward pass, and
+      // the embedding must separate the two clusters on average
+      val g = mlGraph(s)
+      val cfg = GraphSage.GraphSageConfig(embeddingDimension = 8,
+        hiddenDimension = 8, epochs = 30, sampleNodes = 300)
+      val (model, losses) = GraphSage.train(g, "emb", cfg)
+      val a = GraphSage.predict(g, "emb", model).persist()
+      val b = GraphSage.predict(g, "emb", model)
+      val nodes = a.count()
+      val badDims = a.filter(size(col("embedding")) =!= 8).count()
+      val nonFinite = a.filter(exists(col("embedding"),
+        v => isnan(v) || v === Double.PositiveInfinity || v === Double.NegativeInfinity)).count()
+      val badNorm = a.filter(abs(aggregate(col("embedding"), lit(0.0),
+        (x, v) => x + v * v) - 1.0) > 1e-9).count()
+      val digest = (df: DataFrame) => df.select(col("id"),
+        graft.core.Num.roundTo(aggregate(col("embedding"), lit(0.0), (x, v) => x + v), 6).as("d"))
+      val unstable = digest(a).join(digest(b), Seq("id", "d"), "left_anti").count()
+      // mean intra-cluster cosine > mean cross-cluster cosine
+      val pairs = a.select(col("id").as("ia"), col("embedding").as("ea"))
+        .join(a.select(col("id").as("ib"), col("embedding").as("eb")),
+          col("ia") < col("ib"))
+        .select((col("ia") < 150) === (col("ib") < 150) as "intra",
+          aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
+            lit(0.0), (x, v) => x + v).as("cos"))
+      val sep = pairs.groupBy("intra").agg(avg("cos").as("m"))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      a.unpersist(false)
+      val spark = s; import spark.implicits._
+      Seq((nodes, badDims, nonFinite, badNorm, unstable,
+           losses.head > losses.last, sep(true) > sep(false)))
+        .toDF("nodes", "bad_dims", "non_finite", "bad_norm",
+          "digest_mismatch", "loss_decreased", "clusters_separated")
+    }),
     "q_node2vec" -> ((s, dir) => {
       // validity projection (walks hash-seeded, Word2Vec SGD engine-specific;
       // neither is SQL-replayable): every consecutive walk transition is a
@@ -795,6 +878,20 @@ object SparkEntry {
     "q_simhash_neardup" -> "SELECT CAST(0 AS BIGINT) AS missed_true_pairs",
     "q_knn" ->
       "SELECT (SELECT count(*) FROM embeddings) AS nodes, true AS recall_ok",
+    "q_node_classification" ->
+      """SELECT range AS id,
+        |  CASE WHEN range < 150 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+        |    AS predicted_class
+        |FROM range(300)""".stripMargin,
+    "q_link_prediction" ->
+      """SELECT CAST(50 AS BIGINT) AS top_pairs, CAST(0 AS BIGINT) AS cross_cluster,
+        |  CAST(0 AS BIGINT) AS already_edges, CAST(0 AS BIGINT) AS bad_prob,
+        |  true AS train_acc_ok, true AS test_acc_ok""".stripMargin,
+    "q_graphsage" ->
+      """SELECT CAST(300 AS BIGINT) AS nodes, CAST(0 AS BIGINT) AS bad_dims,
+        |  CAST(0 AS BIGINT) AS non_finite, CAST(0 AS BIGINT) AS bad_norm,
+        |  CAST(0 AS BIGINT) AS digest_mismatch,
+        |  true AS loss_decreased, true AS clusters_separated""".stripMargin,
     "q_node2vec" ->
       s"""WITH edges AS ($DenseEdgesSql), $NodesSql
          |SELECT CAST(0 AS BIGINT) AS invalid_transitions,

@@ -346,6 +346,47 @@ final class Gds(val spark: SparkSession) {
       Paths.sssp(catalog.get(name), source)
   }
 
+  /** gds.beta.graphSage — inductive embeddings: driver-sample training,
+    * fully distributed layer-wise inference (reference:
+    * algo/.../embeddings/graphsage/GraphSage.java). */
+  object graphSage {
+    def train(name: String, featureProperty: String,
+              cfg: GraphSage.GraphSageConfig = GraphSage.GraphSageConfig()): GraphSage.GraphSageModel =
+      GraphSage.train(catalog.get(name), featureProperty, cfg)._1
+    def stream(name: String, featureProperty: String,
+               model: GraphSage.GraphSageModel): DataFrame =
+      GraphSage.predict(catalog.get(name), featureProperty, model)
+    def mutate(name: String, property: String, featureProperty: String,
+               cfg: GraphSage.GraphSageConfig = GraphSage.GraphSageConfig()): PropertyGraph =
+      catalog.mutateNodeProperty(name, property,
+        GraphSage.run(catalog.get(name), featureProperty, cfg).embeddings)
+  }
+
+  /** gds.alpha.ml.linkPrediction — train on edges vs sampled non-edges,
+    * score candidate pairs (reference: alpha/.../ml/linkmodels/
+    * LinkPredictionTrain.java). */
+  object linkPrediction {
+    def train(name: String, featureProperty: String,
+              cfg: graft.ml.LinkPrediction.LinkPredictionConfig =
+                graft.ml.LinkPrediction.LinkPredictionConfig()): graft.ml.LinkPrediction.LinkModel =
+      graft.ml.LinkPrediction.train(catalog.get(name), featureProperty, cfg)
+    def stream(name: String, featureProperty: String,
+               model: graft.ml.LinkPrediction.LinkModel, topN: Int): DataFrame =
+      graft.ml.LinkPrediction.predict(catalog.get(name), model, featureProperty, topN)
+  }
+
+  /** gds.alpha.ml.nodeClassification (reference: alpha/.../ml/nodemodels/
+    * NodeClassificationTrain.java). */
+  object nodeClassification {
+    def train(name: String, featureProperty: String, labelProperty: String,
+              cfg: graft.ml.NodeClassification.NcConfig =
+                graft.ml.NodeClassification.NcConfig()): graft.ml.NodeClassification.NcModel =
+      graft.ml.NodeClassification.train(catalog.get(name), featureProperty, labelProperty, cfg)
+    def stream(name: String, featureProperty: String,
+               model: graft.ml.NodeClassification.NcModel): DataFrame =
+      graft.ml.NodeClassification.predict(catalog.get(name), featureProperty, model)
+  }
+
   /** `.estimate` mode (reference: proc/common/.../AlgoBaseProc.java:262-299 +
     * MemoryEstimations): a cheap size model instead of a run. Spark manages
     * executor memory itself, so the estimate reports the logical state

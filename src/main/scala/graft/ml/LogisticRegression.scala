@@ -1,0 +1,94 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed binary logistic regression by full-batch gradient descent —
+  * the training core of the reference's ML pipelines (reference:
+  * alpha/alpha-algo/src/main/java/org/neo4j/gds/ml/core/functions/ and
+  * .../ml/linkmodels/logisticregression/LinkLogisticRegressionTrain.java,
+  * which likewise runs batched gradient descent over a tiny dense weight
+  * vector).
+  *
+  * Spark shape (the only one that survives 100 TB of training rows): the
+  * MODEL is tiny and lives on the driver; the DATA never moves. Each
+  * iteration is ONE whole-stage-codegen'd aggregation over the feature
+  * table — `d+2` partial sums (per-dimension gradient, bias gradient, loss)
+  * computed map-side and reduced — so the per-iteration cost is a single
+  * scan with no shuffle beyond the final scalar reduce, and adding
+  * executors divides the scan time. No per-row UDFs: the dot product is a
+  * `zip_with`/`aggregate` expression over the broadcast-as-literal weights.
+  */
+object LogisticRegression {
+
+  final case class LrConfig(
+    maxIterations: Int = 100,
+    learningRate: Double = 0.5,
+    l2Penalty: Double = 0.0,
+    tolerance: Double = 1e-7)
+
+  final case class LrModel(weights: Array[Double], bias: Double,
+                           losses: Seq[Double]) {
+    def dims: Int = weights.length
+  }
+
+  private def sigmoid(m: Column): Column = lit(1.0) / (lit(1.0) + exp(-m))
+
+  /** margin = w·x + b with weights as a literal array (broadcast in the
+    * task binary — the model is a few hundred bytes). */
+  def margin(features: Column, weights: Array[Double], bias: Double): Column = {
+    val w = array(weights.map(lit): _*)
+    aggregate(zip_with(features, w, (x, wi) => x * wi), lit(bias), (a, v) => a + v)
+  }
+
+  def predictProb(features: Column, model: LrModel): Column =
+    sigmoid(margin(features, model.weights, model.bias))
+
+  /** Train on (featuresCol: array<double>, labelCol: 0/1). One distributed
+    * aggregation per iteration; converges when the relative loss improvement
+    * drops below `tolerance` (the reference's stop criterion). */
+  def train(data: DataFrame, featuresCol: String, labelCol: String, dims: Int,
+            cfg: LrConfig = LrConfig()): LrModel = {
+    val df = data.select(
+        col(featuresCol).cast("array<double>").as("x"),
+        col(labelCol).cast("double").as("y"))
+      .persist()
+    val n = df.count().toDouble
+    require(n > 0, "empty training set")
+
+    var w = new Array[Double](dims)
+    var b = 0.0
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var it = 0
+    var done = false
+    while (it < cfg.maxIterations && !done) {
+      // clamp the margin so exp/log stay finite (ANSI mode is on)
+      val m = least(greatest(margin(col("x"), w, b), lit(-30.0)), lit(30.0))
+      val p = sigmoid(m)
+      val err = (p - col("y")).as("err")
+      val withErr = df.select(col("x"), col("y"), err, m.as("m"))
+      // d+2 partial-aggregated sums in ONE scan: grad_i, grad_bias, loss
+      val gradCols = (0 until dims).map(i =>
+        sum(col("err") * element_at(col("x"), i + 1)).as(s"g$i"))
+      val extras = Seq(sum(col("err")).as("gb"),
+        // logloss in the overflow-safe softplus form:
+        //   log(1+e^m) - y*m  ==  -[y log p + (1-y) log(1-p)]
+        sum(log1p(exp(col("m"))) - col("y") * col("m")).as("loss"))
+      val row = withErr.agg(gradCols.head, (gradCols.tail ++ extras): _*).first()
+      val loss = row.getDouble(dims + 1) / n +
+        0.5 * cfg.l2Penalty * w.map(x => x * x).sum
+      losses += loss
+      val newW = Array.tabulate(dims)(i =>
+        w(i) - cfg.learningRate * (row.getDouble(i) / n + cfg.l2Penalty * w(i)))
+      b -= cfg.learningRate * row.getDouble(dims) / n
+      w = newW
+      it += 1
+      if (losses.length >= 2) {
+        val prev = losses(losses.length - 2)
+        done = math.abs(prev - loss) <= cfg.tolerance * math.max(math.abs(prev), 1e-12)
+      }
+    }
+    df.unpersist(false)
+    LrModel(w, b, losses.toSeq)
+  }
+}
