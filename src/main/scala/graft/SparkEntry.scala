@@ -269,6 +269,13 @@ object SparkEntry {
     }),
     "q_bfs" -> ((s, dir) =>
       Paths.bfs(denseGraph(s, dir), source = 0L).orderBy("id")),
+    "q_all_pairs" -> ((s, dir) => {
+      // all-pairs distance stream over a bounded source set (30 sources):
+      // the reference's gds.alpha.allShortestPaths.stream semantics
+      val g = denseGraph(s, dir)
+      MsBfs.allShortestPaths(g, sources = Some(g.vertices.filter(col("id") < 30).select("id")))
+        .orderBy("sourceNodeId", "targetNodeId")
+    }),
     "q_sssp" -> ((s, dir) => {
       val g = denseGraph(s, dir)
       val weighted = g.copy(edges = g.edges
@@ -794,6 +801,7 @@ object SparkEntry {
          |SELECT n1, n2, floor(sim * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS similarity
          |FROM ranked WHERE rk <= 3 ORDER BY n1, n2""".stripMargin,
     "q_bfs" -> bfsSql(DenseEdgesSql, maxDepth = 20),
+    "q_all_pairs" -> allPairsSql(DenseEdgesSql, maxDepth = 20, maxSource = 30),
     "q_sssp" -> ssspSql(
       DenseEdgesSql.replace(" FROM orders", ", CAST((o_orderkey % 300) * 31 + ((o_orderkey * 7 + o_custkey) % 300) AS BIGINT) AS wseed FROM orders"),
       rounds = 14),
@@ -1197,6 +1205,26 @@ object SparkEntry {
        |$steps
        |SELECT id, CAST(dist AS BIGINT) AS dist FROM d$maxDepth
        |WHERE dist < 1000000000 ORDER BY id""".stripMargin
+  }
+
+  /** Multi-source all-pairs BFS oracle: like bfsSql but state is keyed by
+    * (source, node); seeds are the sources only (the self-loop rows keep
+    * reached pairs monotone across steps). */
+  private def allPairsSql(edgesSql: String, maxDepth: Int, maxSource: Int): String = {
+    val steps = (1 to maxDepth).map { k =>
+      s"""p$k AS (
+         |  SELECT p.s, u.dst AS id, min(p.dist + u.w) AS dist
+         |  FROM undx u JOIN p${k - 1} p ON p.id = u.src GROUP BY p.s, u.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |$NodesSql,
+       |undx AS (SELECT DISTINCT src, dst, 1 AS w FROM edges
+       |         UNION SELECT id, id, 0 FROM nodes),
+       |p0 AS (SELECT id AS s, id, 0 AS dist FROM nodes WHERE id < $maxSource),
+       |$steps
+       |SELECT s AS sourceNodeId, id AS targetNodeId,
+       |       CAST(dist AS DOUBLE) AS distance
+       |FROM p$maxDepth ORDER BY sourceNodeId, targetNodeId""".stripMargin
   }
 
   /** SSSP oracle: like bfsSql with per-edge weights (weight derived in the

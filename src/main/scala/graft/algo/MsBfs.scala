@@ -62,6 +62,21 @@ object MsBfs {
     visited
   }
 
+  /** All-pairs shortest-path distance stream (gds.alpha.allShortestPaths
+    * .stream, reference impl/msbfs/MSBFSAllShortestPaths.java): every source
+    * expands in the same batched BFS; emits one row per reachable
+    * (source, target) pair. `sources` defaults to all vertices — pass a
+    * subset to bound the O(sources x reachable) output at scale. */
+  def allShortestPaths(graph: PropertyGraph,
+                       sources: Option[DataFrame] = None,
+                       orientation: Orientation = Orientation.Natural,
+                       maxDepth: Int = 100): DataFrame = {
+    val srcDf = sources.getOrElse(graph.vertices.select("id"))
+    distSigma(graph.orientedEdges(orientation), srcDf, maxDepth)
+      .select(col("s").as("sourceNodeId"), col("id").as("targetNodeId"),
+        col("dist").cast("double").as("distance"))
+  }
+
   /** Closeness centrality (gds.alpha.closeness.*): for each node v,
     * farness = sum of dist(s, v) over sources reaching it (excluding v),
     * componentSize = how many reach it; centrality = comp/farness, or

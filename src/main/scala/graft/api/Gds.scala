@@ -216,6 +216,11 @@ final class Gds(val spark: SparkSession) {
     /** Single-source variant with full path tracking. */
     def stream(name: String, source: Long): DataFrame =
       ShortestPaths.dijkstraSingleSource(catalog.get(name), source)
+    /** All-pairs distance stream (gds.alpha.allShortestPaths.stream) via
+      * batched multi-source BFS; restrict `sources` to bound output size. */
+    def streamAllPairs(name: String, sources: Option[DataFrame] = None,
+                       orientation: Orientation = Orientation.Natural): DataFrame =
+      MsBfs.allShortestPaths(catalog.get(name), sources, orientation)
   }
 
   object bfs {

@@ -93,9 +93,16 @@ object ScalingBench {
       // job (no per-superstep driver sync — LoopConfig.fusedSteps), with the
       // synthetic graph's forced hubs split onto the broadcast-frontier path.
       val fused = sys.env.getOrElse("GRAFT_BENCH_FUSED", supersteps.toString).toInt
-      val hubT  = sys.env.getOrElse("GRAFT_BENCH_HUB_THRESHOLD", "2000").toDouble
+      // hub-split path: each superstep's hub-frontier broadcast serializes
+      // the fused chain through the driver, so it only pays when a single
+      // hub's adjacency would actually skew a partition. The synth bench
+      // graph's forced hubs (degree 5000) are ~1% of a partition at the
+      // default size — off by default; GRAFT_BENCH_HUB_THRESHOLD>0 enables
+      // (the skew path itself is exercised by tools.HubSkewProbe at
+      // hubDegree>=100k, where it wins).
+      val hubT  = sys.env.getOrElse("GRAFT_BENCH_HUB_THRESHOLD", "0").toDouble
       val cfg = PageRankConfig(tolerance = 0.0, maxIterations = supersteps,
-        fusedSteps = fused, hubThreshold = Some(hubT))
+        fusedSteps = fused, hubThreshold = if (hubT > 0) Some(hubT) else None)
       // warm-up superstep machinery (JIT, codegen) on a tiny run
       PageRank.run(graph, cfg.copy(maxIterations = 2)).scores.count()
       // repeat the timed run and take the min: single-shot timings on a
