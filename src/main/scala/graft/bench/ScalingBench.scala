@@ -84,31 +84,49 @@ object ScalingBench {
     (PropertyGraph(verts, edges), e)
   }
 
+  private def benchConfig(supersteps: Int): PageRankConfig = {
+    // Fixed-iteration run => fuse all supersteps into one lazily-chained
+    // job (no per-superstep driver sync — LoopConfig.fusedSteps).
+    val fused = sys.env.getOrElse("GRAFT_BENCH_FUSED", supersteps.toString).toInt
+    // hub-split path: each superstep's hub-frontier broadcast serializes
+    // the fused chain through the driver, so it only pays when a single
+    // hub's adjacency would actually skew a partition. The synth bench
+    // graph's forced hubs (degree 5000) are ~1% of a partition at the
+    // default size — off by default; GRAFT_BENCH_HUB_THRESHOLD>0 enables
+    // (the skew path itself is exercised by tools.HubSkewProbe at
+    // hubDegree>=100k, where it wins).
+    val hubT = sys.env.getOrElse("GRAFT_BENCH_HUB_THRESHOLD", "0").toDouble
+    PageRankConfig(tolerance = 0.0, maxIterations = supersteps,
+      fusedSteps = fused, hubThreshold = if (hubT > 0) Some(hubT) else None)
+  }
+
+  /** One session, one warm-up, one timed run. Returns (secs, edges). */
+  private def oneTimedRun(cores: Int, nPages: Long, supersteps: Int,
+                          density: Double): (Double, Long) = {
+    val spark = session(cores)
+    try {
+      val (graph, e) = benchGraph(spark, nPages, density)
+      val cfg = benchConfig(supersteps)
+      // warm-up superstep machinery (JIT, codegen) on a short run
+      PageRank.run(graph, cfg.copy(maxIterations = 2)).scores.count()
+      val t0 = System.nanoTime()
+      PageRank.run(graph, cfg).scores.count()
+      ((System.nanoTime() - t0) / 1e9, e)
+    } finally spark.stop()
+  }
+
   def pageRankRun(cores: Int, nPages: Long, supersteps: Int,
                   density: Double = 8.0): RunStats = {
     val spark = session(cores)
     try {
       val (graph, e) = benchGraph(spark, nPages, density)
-      // Fixed-iteration run => fuse all supersteps into one lazily-chained
-      // job (no per-superstep driver sync — LoopConfig.fusedSteps), with the
-      // synthetic graph's forced hubs split onto the broadcast-frontier path.
-      val fused = sys.env.getOrElse("GRAFT_BENCH_FUSED", supersteps.toString).toInt
-      // hub-split path: each superstep's hub-frontier broadcast serializes
-      // the fused chain through the driver, so it only pays when a single
-      // hub's adjacency would actually skew a partition. The synth bench
-      // graph's forced hubs (degree 5000) are ~1% of a partition at the
-      // default size — off by default; GRAFT_BENCH_HUB_THRESHOLD>0 enables
-      // (the skew path itself is exercised by tools.HubSkewProbe at
-      // hubDegree>=100k, where it wins).
-      val hubT  = sys.env.getOrElse("GRAFT_BENCH_HUB_THRESHOLD", "0").toDouble
-      val cfg = PageRankConfig(tolerance = 0.0, maxIterations = supersteps,
-        fusedSteps = fused, hubThreshold = if (hubT > 0) Some(hubT) else None)
+      val cfg = benchConfig(supersteps)
       // warm-up superstep machinery (JIT, codegen) on a tiny run
       PageRank.run(graph, cfg.copy(maxIterations = 2)).scores.count()
       // repeat the timed run and take the min: single-shot timings on a
       // shared box carry GC/OS noise that can swing the derived efficiency
       // by +-0.1; min-of-k is the standard noise-free estimator
-      val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
+      val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
       val times = (1 to reps).map { rep =>
         val t0 = System.nanoTime()
         val r = PageRank.run(graph, cfg)
@@ -119,6 +137,25 @@ object ScalingBench {
       }
       RunStats(cores, times.min, e, supersteps)
     } finally spark.stop()
+  }
+
+  /** Interleaved scaling legs: reps alternate BETWEEN core counts
+    * (c1,c2,...,c1,c2,...) so a slow-machine episode (GC, co-tenant load)
+    * hits every leg equally instead of biasing one side of the ratio; min
+    * per leg then drops the episodes. One fresh session per (cores, rep) —
+    * graph build and warm-up excluded from timing as always. */
+  def pageRankInterleaved(coresList: Seq[Int], nPages: Long, supersteps: Int,
+                          density: Double = 8.0,
+                          reps: Int = 3): Map[Int, RunStats] = {
+    var edges = 0L
+    val best = scala.collection.mutable.Map.empty[Int, Double]
+    for (rep <- 1 to reps; c <- coresList) {
+      val (secs, e) = oneTimedRun(c, nPages, supersteps, density)
+      edges = e
+      System.err.println(f"[scaling] cores=$c rep=$rep secs=$secs%.2f")
+      if (!best.contains(c) || secs < best(c)) best(c) = secs
+    }
+    coresList.map(c => c -> RunStats(c, best(c), edges, supersteps)).toMap
   }
 
   /** Secondary metrics at one parallelism level. */

@@ -210,8 +210,11 @@ object SuperstepLoop {
           nextCached.unpersist(false)
           cached = spark.read.parquet(snap.dataPath).persist(cfg.storageLevel)
           state  = cached
-        case _ if iter - lastCut >= cfg.truncateInterval =>
-          // periodic hard cut of the physical RDD chain
+        case _ if iter - lastCut >= cfg.truncateInterval &&
+                  !converged && iter < cfg.maxSteps =>
+          // periodic hard cut of the physical RDD chain — only when the loop
+          // will actually run more supersteps (the cut is an eager full copy
+          // of the state; at loop exit it would be pure waste)
           lastCut = iter
           val cut = nextCached.localCheckpoint(true)
           nextCached.unpersist(false)

@@ -54,6 +54,26 @@ class CentralitySpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(h(0L) - (1.0 + 0.5 + 1.0 / 3 + 0.25) / 4.0) < 1e-12)
   }
 
+  test("allShortestPaths: all-pairs distance stream on a directed path") {
+    // 0->1->2: reachable pairs and hop distances, self pairs at 0
+    val g = graphOf(3, Seq((0L, 1L), (1L, 2L)))
+    val rows = MsBfs.allShortestPaths(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows == Map(
+      (0L, 0L) -> 0.0, (0L, 1L) -> 1.0, (0L, 2L) -> 2.0,
+      (1L, 1L) -> 0.0, (1L, 2L) -> 1.0,
+      (2L, 2L) -> 0.0))
+  }
+
+  test("allShortestPaths: source restriction bounds the output") {
+    val g = graphOf(4, Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val srcs = Seq(0L).toDF("id")
+    val rows = MsBfs.allShortestPaths(g, sources = Some(srcs)).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L) && rows.length == 4)
+  }
+
   test("scc: two cycles joined by a one-way bridge") {
     // cycle A: 0->1->2->0; bridge 2->3; cycle B: 3->4->3; tail 5 (4->5)
     val g = graphOf(6, Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L),
