@@ -127,6 +127,56 @@ object SparkEntry {
        |SELECT id, floor(rank * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS score FROM s${supersteps - 1} ORDER BY id""".stripMargin
   }
 
+  /** ArticleRank unrolled like pagerankSql, with avgDegree folded in exactly
+    * as graft.algo.PageRank.runInternal computes it: norm = 1/(deg+avgDeg),
+    * per-superstep factor lam = 0.85 * avgDeg (one double, THEN times the
+    * message sum — parenthesization mirrors the Scala arithmetic). */
+  private def articleRankSql(edgesSql: String, supersteps: Int): String = {
+    val steps = (1 until supersteps).map { k =>
+      val p = s"s${k - 1}"
+      s"""m$k AS (
+         |  SELECT me.dst AS id, sum(s.delta * me.norm) AS msum
+         |  FROM $p s JOIN medges me ON s.id = me.src
+         |  WHERE s.delta > 0 GROUP BY me.dst),
+         |s$k AS (
+         |  SELECT s.id,
+         |         s.rank + COALESCE((SELECT lam FROM lamv) * m.msum, 0.0) AS rank,
+         |         COALESCE((SELECT lam FROM lamv) * m.msum, 0.0) AS delta
+         |  FROM $p s LEFT JOIN m$k m ON s.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |$NodesSql,
+       |avgd AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM edges) /
+       |                (SELECT CAST(count(*) AS DOUBLE) FROM nodes) AS ad),
+       |lamv AS (SELECT 0.85 * ad AS lam FROM avgd),
+       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+       |medges AS (SELECT e.src, e.dst, 1.0 / (d.deg + (SELECT ad FROM avgd)) AS norm
+       |           FROM edges e JOIN deg d ON e.src = d.src WHERE d.deg > 0),
+       |s0 AS (SELECT id, (1.0 - 0.85) AS rank, (1.0 - 0.85) AS delta FROM nodes),
+       |$steps
+       |SELECT id, floor(rank * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS score FROM s${supersteps - 1} ORDER BY id""".stripMargin
+  }
+
+  /** Hash-min WCC over the weight-thresholded edge set (strict `weight >
+    * threshold`, mirroring WccConfig.threshold) — the vertex set stays the
+    * FULL graph's, so below-threshold nodes become singleton components. */
+  private def wccThresholdSql(edgesSql: String, rounds: Int, threshold: Double): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""c$k AS (
+         |  SELECT u.dst AS id, min(s.comp) AS comp
+         |  FROM undx u JOIN c${k - 1} s ON s.id = u.src GROUP BY u.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |$NodesSql,
+       |kept AS (SELECT src, dst FROM edges WHERE weight > $threshold AND src <> dst),
+       |undx AS (SELECT src, dst FROM kept
+       |         UNION SELECT dst, src FROM kept
+       |         UNION SELECT id, id FROM nodes),
+       |c0 AS (SELECT id, id AS comp FROM nodes),
+       |$steps
+       |SELECT id, comp AS componentId FROM c$rounds ORDER BY id""".stripMargin
+  }
+
   /** Hash-min WCC unrolled `rounds` times. The derived orders graph reaches
     * fixpoint in <= 7 rounds at sf0.001/0.01/0.1 (measured); 12 gives ~2x
     * margin while staying under the depth where nested-CTE optimization
@@ -708,6 +758,234 @@ object SparkEntry {
       val spark = s; import spark.implicits._
       Seq((assigned == n, within, r.cutWeight >= r.totalWeight / 2.0))
         .toDF("all_assigned", "out_of_range", "cut_ge_half")
+    }),
+
+    // --- remaining procedure surface, driver-verified (round 2) ---
+    "q_articlerank" -> ((s, dir) => {
+      // ArticleRank = PageRank with degree function deg+avgDeg and delta
+      // coefficient avgDeg (reference PageRankAlgorithmFactory.java:103-108);
+      // exact loop-unrolled oracle.
+      val r = PageRank.articleRank(ordersGraph(s, dir),
+        PageRankConfig(tolerance = 0.0, maxIterations = 6))
+      r.scores.select(col("id"), graft.core.Num.roundTo(col("score"), 6).as("score")).orderBy("id")
+    }),
+    "q_triangles_stream" -> ((s, dir) =>
+      // gds.alpha.triangles: the actual (a,b,c) triples, a < b < c
+      TriangleCount.triangleStream(denseGraph(s, dir)).orderBy("a", "b", "c")),
+    "q_wcc_threshold" -> ((s, dir) =>
+      // weight-thresholded WCC (union only edges with weight > 4, strict —
+      // reference Wcc.java DirectedUnionWithThresholdTask); vertices below
+      // the threshold stay as singleton components.
+      Wcc.run(ordersWeightedGraph(s, dir), WccConfig(threshold = Some(4.0)))
+        .components.orderBy("id")),
+    "q_scale_properties" -> ((s, dir) => {
+      // all 7 reference scalers (ScalarScaler.java:55-122) over c_acctbal
+      // (Log over the positive c_custkey+1 column); exact SQL oracle.
+      val c = table(s, dir, "customer")
+      val base = c.select(col("c_custkey").as("id"),
+        col("c_acctbal").cast("double").as("v"),
+        (col("c_custkey") + 1).cast("double").as("p"))
+      def scaled(sc: Scaler, out: String, in: String = "v") =
+        Scaler.apply(sc, base.select(col("id"), col(in).as(out)), out)
+      def r6(c: org.apache.spark.sql.Column) = graft.core.Num.roundTo(c, 6)
+      scaled(Scaler.MinMax, "minmax")
+        .join(scaled(Scaler.Max, "maxabs"), "id")
+        .join(scaled(Scaler.Mean, "meanscaled"), "id")
+        .join(scaled(Scaler.StdScore, "stdscore"), "id")
+        .join(scaled(Scaler.L1Norm, "l1"), "id")
+        .join(scaled(Scaler.L2Norm, "l2"), "id")
+        .join(scaled(Scaler.Log, "logp", "p"), "id")
+        .select(col("id"), r6(col("minmax")).as("minmax"),
+          r6(col("maxabs")).as("maxabs"), r6(col("meanscaled")).as("meanscaled"),
+          r6(col("stdscore")).as("stdscore"),
+          graft.core.Num.roundTo(col("l1"), 9).as("l1"), r6(col("l2")).as("l2"),
+          r6(col("logp")).as("logp"))
+        .orderBy("id")
+    }),
+    "q_similarity_fns" -> ((s, dir) => {
+      // gds.alpha.similarity.* scalar functions, exact SQL oracle: vector
+      // metrics over integer-valued length-4 arrays, set metrics over small
+      // category lists — all derived deterministically from c_custkey.
+      val c = table(s, dir, "customer")
+      val k = col("c_custkey")
+      val va = array((0 until 4).map(i => ((k * (i + 1)) % 17 + 1).cast("double")): _*)
+      val vb = array((0 until 4).map(i => (((k + 1) * (i + 2)) % 19 + 1).cast("double")): _*)
+      val ca = array(k % 5, k % 7, k % 11)
+      val cb = array((k + 1) % 5, (k + 1) % 7, (k + 1) % 11)
+      import graft.functions.Similarity
+      def r6(c: org.apache.spark.sql.Column) = graft.core.Num.roundTo(c, 6)
+      c.select(k.as("id"),
+        r6(Similarity.cosine(va, vb)).as("cosine"),
+        r6(Similarity.euclideanDistance(va, vb)).as("euclidean_dist"),
+        r6(Similarity.euclideanSimilarity(va, vb)).as("euclidean_sim"),
+        r6(Similarity.pearson(va, vb)).as("pearson"),
+        r6(Similarity.jaccard(ca, cb)).as("jaccard"),
+        r6(Similarity.overlap(ca, cb)).as("overlap"))
+        .orderBy("id")
+    }),
+    "q_linkpred_fns" -> ((s, dir) => {
+      // closed-form link-prediction functions (gds.alpha.linkprediction.*)
+      // over the dense graph's undirected neighbor sets for pairs (i, i+1);
+      // exact SQL oracle via joins.
+      val g = denseGraph(s, dir)
+      val und = GraphOps.canonicalUndirected(g.edges)
+      val nbr = und.select(col("lo").as("id"), col("hi").as("nb"))
+        .unionByName(und.select(col("hi").as("id"), col("lo").as("nb")))
+      val sets = nbr.groupBy("id").agg(sort_array(collect_set("nb")).as("ns"))
+      val pairs = s.range(299).select(col("id").as("a"), (col("id") + 1).as("b"))
+      import graft.functions.Similarity
+      def r6(c: org.apache.spark.sql.Column) = graft.core.Num.roundTo(c, 6)
+      val aa = Similarity.adamicAdar(nbr, pairs)
+        .select(col("a"), col("b"), col("score").as("aa"))
+      val ra = Similarity.resourceAllocation(nbr, pairs)
+        .select(col("a"), col("b"), col("score").as("ra"))
+      pairs
+        .join(sets.select(col("id").as("a"), col("ns").as("na")), "a")
+        .join(sets.select(col("id").as("b"), col("ns").as("nbv")), "b")
+        .join(aa, Seq("a", "b")).join(ra, Seq("a", "b"))
+        .select(col("a"), col("b"),
+          r6(Similarity.commonNeighbors(col("na"), col("nbv"))).as("common_neighbors"),
+          r6(Similarity.totalNeighbors(col("na"), col("nbv"))).as("total_neighbors"),
+          r6(Similarity.preferentialAttachment(col("na"), col("nbv"))).as("pref_attachment"),
+          r6(Similarity.jaccard(col("na"), col("nbv"))).as("jaccard"),
+          r6(col("aa")).as("adamic_adar"),
+          r6(col("ra")).as("resource_alloc"))
+        .orderBy("a")
+    }),
+    "q_exec_modes" -> ((s, dir) => {
+      // the four execution modes end-to-end on a catalog graph: stream
+      // (stats source), stats, mutate + property stream, write + read-back —
+      // every digest is derived from the SAME PageRank run the exact
+      // pagerankSql oracle replays.
+      val gds = new graft.api.Gds(s)
+      val g = ordersGraph(s, dir)
+      gds.graph.create("em_g", g.vertices, g.edges)
+      val cfg = PageRankConfig(tolerance = 0.0, maxIterations = 8)
+      val st = gds.pageRank.stats("em_g", cfg)
+      gds.pageRank.mutate("em_g", "pr", cfg)
+      val props = gds.graph.streamNodeProperties("em_g", Seq("pr"))
+      val wdir = java.nio.file.Files.createTempDirectory("graft-em-write").toString
+      gds.pageRank.write("em_g", wdir, cfg)
+      val back = graft.io.SnapshotStore.read(s, wdir)
+      val pr6 = graft.core.Num.roundTo(col("pr"), 6)
+      val pd = props.agg(count(col("pr")).as("n"),
+        graft.core.Num.roundTo(sum(pr6), 4).as("ps"),
+        graft.core.Num.roundTo(avg(pr6), 4).as("pm")).first()
+      val bd = back.agg(count(lit(1)).as("n"),
+        graft.core.Num.roundTo(sum(graft.core.Num.roundTo(col("score"), 6)), 4).as("ws")).first()
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5 + 1e-6) / 1e6
+      val spark = s; import spark.implicits._
+      Seq((st.getLong(0), r6(st.getDouble(1)), r6(st.getDouble(2)),
+           pd.getLong(0), pd.getDouble(1), pd.getDouble(2),
+           bd.getLong(0), bd.getDouble(1)))
+        .toDF("stats_count", "stats_min", "stats_max", "mutated_rows",
+          "prop_sum", "prop_mean", "written_rows", "written_sum")
+    }),
+    "q_catalog" -> ((s, dir) => {
+      // graph-catalog lifecycle: createFromSql (the cypher-projection
+      // analogue), exists/list, subgraph, property stream/remove,
+      // relationship write/stream/delete, drop — one SQL-checkable digest.
+      val gds = new graft.api.Gds(s)
+      table(s, dir, "customer").createOrReplaceTempView("cat_customer")
+      gds.graph.createFromSql("cat_g",
+        "SELECT c_custkey AS id, c_acctbal FROM cat_customer",
+        "SELECT c_custkey AS src, " +
+          "(c_custkey * 3 + 1) % (SELECT count(*) FROM cat_customer) AS dst " +
+          "FROM cat_customer")
+      val existsAfterCreate = gds.graph.exists("cat_g")
+      val listed = gds.graph.list().contains("cat_g")
+      val sub = gds.graph.subgraph("cat_g", "cat_sub", vertexPredicate = "c_acctbal > 1000")
+      val subV = sub.vertices.count(); val subE = sub.edges.count()
+      val acct = gds.graph.streamNodeProperties("cat_g", Seq("c_acctbal"))
+        .agg(graft.core.Num.roundTo(sum(col("c_acctbal").cast("double")), 0)).first().getDouble(0)
+      val propCols = gds.graph.removeNodeProperty("cat_g", "c_acctbal").vertices.columns.length
+      val n = table(s, dir, "customer").count()
+      val sim = table(s, dir, "customer").select(col("c_custkey").as("src"),
+        ((col("c_custkey") + 7) % n).as("dst"))
+      val edgesAfterAdd = gds.graph.writeRelationship("cat_g", "SIM", sim).edges.count()
+      val simTyped = gds.graph.streamRelationshipProperties("cat_g", Seq("rel_type"))
+        .filter(col("rel_type") === "SIM").count()
+      val edgesAfterDelete = gds.graph.deleteRelationships("cat_g", "SIM").edges.count()
+      val dropped = gds.graph.drop("cat_g") && !gds.graph.exists("cat_g")
+      val spark = s; import spark.implicits._
+      Seq((existsAfterCreate, listed, subV, subE, acct, propCols.toLong,
+           edgesAfterAdd, simTyped, edgesAfterDelete, dropped))
+        .toDF("exists_after_create", "listed", "sub_vertices", "sub_edges",
+          "acctbal_sum", "vertex_cols_after_remove", "edges_after_add",
+          "sim_typed_edges", "edges_after_delete", "dropped")
+    }),
+    "q_csv_roundtrip" -> ((s, dir) => {
+      // gds.beta.graph.export.csv + CSV restore: schema-sidecar roundtrip
+      // must preserve counts and the exact edge multiset (checksum).
+      val g = denseGraph(s, dir)
+      val d = java.nio.file.Files.createTempDirectory("graft-csv-rt").toString
+      graft.io.CsvGraphStore.export(g, d)
+      val back = graft.io.CsvGraphStore.importGraph(s, d)
+      val vN = back.vertices.count()
+      val e = back.edges.agg(count(lit(1)).as("n"),
+        sum(col("src") * 31 + col("dst")).as("cks")).first()
+      val spark = s; import spark.implicits._
+      Seq((vN, e.getLong(0), e.getLong(1))).toDF("vertices", "edges", "edge_checksum")
+    }),
+    "q_snapshot_roundtrip" -> ((s, dir) => {
+      // Iceberg-style snapshot export/import (atomic manifest commit)
+      val g = denseGraph(s, dir)
+      val d = java.nio.file.Files.createTempDirectory("graft-snap-rt").toString
+      graft.io.CsvGraphStore.exportSnapshot(g, d)
+      val back = graft.io.CsvGraphStore.importSnapshot(s, d)
+      val vN = back.vertices.count()
+      val e = back.edges.agg(count(lit(1)).as("n"),
+        sum(col("src") * 31 + col("dst")).as("cks")).first()
+      val spark = s; import spark.implicits._
+      Seq((vN, e.getLong(0), e.getLong(1))).toDF("vertices", "edges", "edge_checksum")
+    }),
+    "q_estimate" -> ((s, dir) => {
+      // `.estimate` mode: the size model's inputs (counts) and outputs are
+      // exact integer arithmetic, replayed by the oracle.
+      val gds = new graft.api.Gds(s)
+      val g = ordersGraph(s, dir)
+      gds.graph.create("est_g", g.vertices, g.edges)
+      val e = gds.estimate.forAlgorithm("est_g", "pageRank")
+      val spark = s; import spark.implicits._
+      Seq((e.nodeCount, e.relationshipCount, e.bytesMin, e.bytesMax))
+        .toDF("node_count", "relationship_count", "bytes_min", "bytes_max")
+    }),
+    "q_astar" -> ((s, dir) => {
+      // A* with the haversine heuristic over grid coordinates; the tiny
+      // radius keeps h < 1 = min edge weight (admissible), so the cost must
+      // equal the Dijkstra distance the unrolled-relaxation oracle computes.
+      ShortestPaths.astar(gridGraph(s, dir), source = 0L, target = 13L, radius = 0.001)
+        .select(col("sourceNode"), col("targetNode"),
+          graft.core.Num.roundTo(col("totalCost"), 6).as("totalCost"))
+    }),
+    "q_yens" -> ((s, dir) => {
+      // Yen's K shortest loopless paths: structural validity (every path
+      // walks real edges whose min-weights sum to its cost, loopless, costs
+      // nondecreasing) + the first path's cost replayed exactly by the
+      // unrolled-relaxation oracle.
+      val g = gridGraph(s, dir)
+      val paths = ShortestPaths.yens(g, source = 0L, target = 13L, k = 3).persist()
+      val minW = GraphOps.withWeight(g.edges).groupBy("src", "dst").agg(min("weight").as("w"))
+      val steps = paths.select(col("index"), posexplode(col("nodeIds")))
+        .withColumnRenamed("col", "node")
+      val trans = steps.join(steps.select(col("index"), (col("pos") - 1).as("pos"),
+          col("node").as("next")), Seq("index", "pos"))
+      val wEdges = minW.withColumnRenamed("src", "node").withColumnRenamed("dst", "next")
+      val badEdges = trans.join(wEdges, Seq("node", "next"), "left_anti").count()
+      val costMismatch = trans.join(wEdges, Seq("node", "next"))
+        .groupBy("index").agg(sum("w").as("wsum"))
+        .join(paths, "index")
+        .filter(abs(col("wsum") - col("totalCost")) > 1e-9).count()
+      val loops = steps.groupBy("index", "node").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).count()
+      val costs = paths.orderBy("index").select("totalCost").collect().map(_.getDouble(0))
+      val nondec = costs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
+      val first = math.floor(costs.head * 1e6 + 0.5 + 1e-6) / 1e6
+      paths.unpersist(false)
+      val spark = s; import spark.implicits._
+      Seq((costs.length.toLong, nondec, badEdges, costMismatch, loops, first))
+        .toDF("paths", "costs_nondecreasing", "bad_edges", "cost_mismatch",
+          "loops", "first_cost")
     })
   )
 
@@ -731,6 +1009,44 @@ object SparkEntry {
     "SELECT c_custkey AS src, c_custkey + 1 AS dst, " +
     "CAST(c_custkey % 7 + 1 AS DOUBLE) AS weight FROM customer " +
     "WHERE c_custkey < (SELECT max(c_custkey) FROM customer)"
+
+  /** 24-node weighted multigraph over the smallest customer keys with grid
+    * lat/lon coordinates — small diameter, exactly replayable relaxation
+    * oracle; shared by the A* / Yens queries. No self-loops (parity
+    * argument: 2c ≡ -1 and 6c ≡ -3 have no solutions mod 24). */
+  private def gridGraph(s: SparkSession, dir: String): PropertyGraph = {
+    val c = table(s, dir, "customer").filter(col("c_custkey") < 24)
+    val k = col("c_custkey")
+    val e1 = c.select(k.as("src"), ((k + 1) % 24).as("dst"),
+      (k % 5 + 1).cast("double").as("weight"))
+    val e2 = c.select(k.as("src"), ((k * 3 + 1) % 24).as("dst"),
+      (k % 7 + 2).cast("double").as("weight"))
+    val e3 = c.select(k.as("src"), ((k * 7 + 3) % 24).as("dst"),
+      (k % 4 + 3).cast("double").as("weight"))
+    val verts = c.select(k.as("id"), (k % 5).cast("double").as("latitude"),
+      floor(k / 5).cast("double").as("longitude"))
+    PropertyGraph(verts, e1.unionByName(e2).unionByName(e3))
+  }
+  private val GridEdgesSql =
+    """SELECT c_custkey AS src, (c_custkey + 1) % 24 AS dst, CAST(c_custkey % 5 + 1 AS DOUBLE) AS w FROM customer WHERE c_custkey < 24
+      |UNION ALL SELECT c_custkey, (c_custkey * 3 + 1) % 24, CAST(c_custkey % 7 + 2 AS DOUBLE) FROM customer WHERE c_custkey < 24
+      |UNION ALL SELECT c_custkey, (c_custkey * 7 + 3) % 24, CAST(c_custkey % 4 + 3 AS DOUBLE) FROM customer WHERE c_custkey < 24""".stripMargin
+
+  /** Shared CTE block: unrolled Bellman-Ford relaxation on the grid graph
+    * from source 0; `tdist` holds the distance at `target`. */
+  private def gridDistCtes(rounds: Int, target: Long): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""gd$k AS MATERIALIZED (
+         |  SELECT u.dst AS id, min(s.dist + u.w) AS dist
+         |  FROM gundx u JOIN gd${k - 1} s ON s.id = u.src GROUP BY u.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""gedges AS ($GridEdgesSql),
+       |gnodes AS (SELECT src AS id FROM gedges UNION SELECT dst FROM gedges),
+       |gundx AS (SELECT src, dst, w FROM gedges UNION ALL SELECT id, id, 0.0 FROM gnodes),
+       |gd0 AS (SELECT id, CASE WHEN id = 0 THEN 0.0 ELSE 1e18 END AS dist FROM gnodes),
+       |$steps,
+       |tdist AS (SELECT dist FROM gd$rounds WHERE id = $target)""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // DuckDB oracles
@@ -961,8 +1277,155 @@ object SparkEntry {
         |CAST((SELECT count(*) FROM customer) AS DOUBLE) AS spread""".stripMargin,
     "q_maxkcut" ->
       ("SELECT true AS all_assigned, CAST(0 AS BIGINT) AS out_of_range, " +
-       "true AS cut_ge_half")
+       "true AS cut_ge_half"),
+
+    // --- remaining procedure surface (round 2) ---
+    "q_articlerank" -> articleRankSql(OrdersEdgesSql, supersteps = 6),
+    "q_triangles_stream" ->
+      s"WITH ${triangleBaseSql(DenseEdgesSql)}\nSELECT a, b, c FROM tri ORDER BY a, b, c",
+    "q_wcc_threshold" -> wccThresholdSql(OrdersWeightedEdgesSql, rounds = 12, threshold = 4.0),
+    "q_scale_properties" -> ScalePropertiesSql,
+    "q_similarity_fns" -> SimilarityFnsSql,
+    "q_linkpred_fns" -> LinkPredFnsSql,
+    "q_exec_modes" -> ExecModesSql,
+    "q_catalog" -> CatalogSql,
+    "q_csv_roundtrip" -> RoundtripSql,
+    "q_snapshot_roundtrip" -> RoundtripSql,
+    "q_estimate" -> EstimateSql,
+    "q_astar" ->
+      s"""WITH ${gridDistCtes(rounds = 12, target = 13L)}
+         |SELECT CAST(0 AS BIGINT) AS sourceNode, CAST(13 AS BIGINT) AS targetNode,
+         |  (SELECT floor(dist * 1000000.0 + 0.5 + 0.000001) / 1000000.0 FROM tdist) AS totalCost""".stripMargin,
+    "q_yens" ->
+      s"""WITH ${gridDistCtes(rounds = 12, target = 13L)}
+         |SELECT CAST(3 AS BIGINT) AS paths, true AS costs_nondecreasing,
+         |  CAST(0 AS BIGINT) AS bad_edges, CAST(0 AS BIGINT) AS cost_mismatch,
+         |  CAST(0 AS BIGINT) AS loops,
+         |  (SELECT floor(dist * 1000000.0 + 0.5 + 0.000001) / 1000000.0 FROM tdist) AS first_cost""".stripMargin
   )
+
+  /** All 7 scalers in one pass; st carries the per-scaler statistics
+    * (population stddev, L1/L2 norms, extremes) exactly as Scaler.apply
+    * computes them. */
+  private val ScalePropertiesSql =
+    """WITH c AS (SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) AS v,
+      |            CAST(c_custkey + 1 AS DOUBLE) AS p FROM customer),
+      |st AS (SELECT min(v) AS lo, max(v) AS hi, avg(v) AS mu, stddev_pop(v) AS sd,
+      |  sum(abs(v)) AS l1s, sqrt(sum(v * v)) AS l2s, max(abs(v)) AS mx FROM c)
+      |SELECT c.id,
+      |  floor((c.v - st.lo) / (CASE WHEN st.hi - st.lo = 0 THEN 1.0 ELSE st.hi - st.lo END) * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS minmax,
+      |  floor(c.v / (CASE WHEN st.mx = 0 THEN 1.0 ELSE st.mx END) * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS maxabs,
+      |  floor((c.v - st.mu) / (CASE WHEN st.hi - st.lo = 0 THEN 1.0 ELSE st.hi - st.lo END) * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS meanscaled,
+      |  floor((c.v - st.mu) / (CASE WHEN st.sd = 0 THEN 1.0 ELSE st.sd END) * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS stdscore,
+      |  floor(c.v / (CASE WHEN st.l1s = 0 THEN 1.0 ELSE st.l1s END) * 1000000000.0 + 0.5 + 0.000001) / 1000000000.0 AS l1,
+      |  floor(c.v / (CASE WHEN st.l2s = 0 THEN 1.0 ELSE st.l2s END) * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS l2,
+      |  floor(ln(c.p) * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS logp
+      |FROM c, st ORDER BY c.id""".stripMargin
+
+  /** Vector metrics as explicit scalar arithmetic (integer-valued inputs →
+    * bit-identical cross-engine), set metrics via DISTINCT unnest joins;
+    * term order mirrors the Catalyst fold order (left-assoc). */
+  private val SimilarityFnsSql: String = {
+    val a = (0 until 4).map(i => s"CAST((c_custkey * ${i + 1}) % 17 + 1 AS DOUBLE) AS a$i")
+    val b = (0 until 4).map(i => s"CAST(((c_custkey + 1) * ${i + 2}) % 19 + 1 AS DOUBLE) AS b$i")
+    def sumTerms(f: Int => String) = (0 until 4).map(f).mkString(" + ")
+    val dab = sumTerms(i => s"a$i * b$i")
+    val daa = sumTerms(i => s"a$i * a$i")
+    val dbb = sumTerms(i => s"b$i * b$i")
+    val dsq = sumTerms(i => s"(a$i - b$i) * (a$i - b$i)")
+    val cov  = sumTerms(i => s"(a$i - mua) * (b$i - mub)")
+    val vara = sumTerms(i => s"(a$i - mua) * (a$i - mua)")
+    val varb = sumTerms(i => s"(b$i - mub) * (b$i - mub)")
+    val r6 = (e: String) => s"floor(($e) * 1000000.0 + 0.5 + 0.000001) / 1000000.0"
+    s"""WITH c AS (SELECT c_custkey AS id, ${(a ++ b).mkString(", ")} FROM customer),
+       |v AS (SELECT *, ($dab) AS dab, ($daa) AS daa, ($dbb) AS dbb, ($dsq) AS dsq,
+       |  (a0 + a1 + a2 + a3) / 4.0 AS mua, (b0 + b1 + b2 + b3) / 4.0 AS mub FROM c),
+       |w AS (SELECT id, dab, daa, dbb, dsq,
+       |  ($cov) AS cov, ($vara) AS vara, ($varb) AS varb FROM v),
+       |wa AS (SELECT DISTINCT c_custkey AS id,
+       |  unnest([c_custkey % 5, c_custkey % 7, c_custkey % 11]) AS x FROM customer),
+       |wb AS (SELECT DISTINCT c_custkey AS id,
+       |  unnest([(c_custkey + 1) % 5, (c_custkey + 1) % 7, (c_custkey + 1) % 11]) AS x FROM customer),
+       |sa AS (SELECT id, count(*) AS n FROM wa GROUP BY id),
+       |sb AS (SELECT id, count(*) AS n FROM wb GROUP BY id),
+       |iw AS (SELECT wa.id, count(*) AS i FROM wa JOIN wb ON wb.id = wa.id AND wb.x = wa.x GROUP BY wa.id)
+       |SELECT w.id,
+       |  ${r6("w.dab / (sqrt(w.daa) * sqrt(w.dbb))")} AS cosine,
+       |  ${r6("sqrt(w.dsq)")} AS euclidean_dist,
+       |  ${r6("1.0 / (1.0 + sqrt(w.dsq))")} AS euclidean_sim,
+       |  ${r6("CASE WHEN sqrt(w.vara) * sqrt(w.varb) = 0 THEN 0.0 ELSE w.cov / (sqrt(w.vara) * sqrt(w.varb)) END")} AS pearson,
+       |  ${r6("CAST(COALESCE(iw.i, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(iw.i, 0))")} AS jaccard,
+       |  ${r6("CAST(COALESCE(iw.i, 0) AS DOUBLE) / least(sa.n, sb.n)")} AS overlap
+       |FROM w JOIN sa ON sa.id = w.id JOIN sb ON sb.id = w.id
+       |LEFT JOIN iw ON iw.id = w.id
+       |ORDER BY w.id""".stripMargin
+  }
+
+  private val LinkPredFnsSql: String = {
+    val r6 = (e: String) => s"floor(($e) * 1000000.0 + 0.5 + 0.000001) / 1000000.0"
+    s"""WITH edges AS ($DenseEdgesSql),
+       |canon AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+       |          FROM edges WHERE src <> dst),
+       |nbr AS (SELECT lo AS id, hi AS nb FROM canon UNION ALL SELECT hi, lo FROM canon),
+       |deg AS (SELECT id, CAST(count(*) AS DOUBLE) AS d FROM nbr GROUP BY id),
+       |pairs AS (SELECT range AS a, range + 1 AS b FROM range(299)),
+       |cmn AS (SELECT p.a, p.b, na.nb AS c FROM pairs p
+       |  JOIN nbr na ON na.id = p.a JOIN nbr nb ON nb.id = p.b AND nb.nb = na.nb),
+       |cagg AS (SELECT cmn.a, cmn.b, count(*) AS cn,
+       |  sum(1.0 / ln(dc.d)) AS aa, sum(1.0 / dc.d) AS ra
+       |  FROM cmn JOIN deg dc ON dc.id = cmn.c GROUP BY cmn.a, cmn.b)
+       |SELECT p.a, p.b,
+       |  CAST(COALESCE(g.cn, 0) AS DOUBLE) AS common_neighbors,
+       |  (da.d + db.d - COALESCE(g.cn, 0)) AS total_neighbors,
+       |  (da.d * db.d) AS pref_attachment,
+       |  ${r6("CAST(COALESCE(g.cn, 0) AS DOUBLE) / (da.d + db.d - COALESCE(g.cn, 0))")} AS jaccard,
+       |  ${r6("COALESCE(g.aa, 0.0)")} AS adamic_adar,
+       |  ${r6("COALESCE(g.ra, 0.0)")} AS resource_alloc
+       |FROM pairs p JOIN deg da ON da.id = p.a JOIN deg db ON db.id = p.b
+       |LEFT JOIN cagg g ON g.a = p.a AND g.b = p.b
+       |ORDER BY p.a""".stripMargin
+  }
+
+  private val ExecModesSql: String = {
+    val pr = pagerankSql(OrdersEdgesSql, supersteps = 8, weighted = false)
+    s"""WITH prq AS (SELECT * FROM ($pr) t)
+       |SELECT count(*) AS stats_count,
+       |  min(score) AS stats_min, max(score) AS stats_max,
+       |  count(*) AS mutated_rows,
+       |  floor(sum(score) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS prop_sum,
+       |  floor(avg(score) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS prop_mean,
+       |  count(*) AS written_rows,
+       |  floor(sum(score) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS written_sum
+       |FROM prq""".stripMargin
+  }
+
+  private val CatalogSql =
+    """WITH nc AS (SELECT count(*) AS n FROM customer),
+      |verts AS (SELECT c_custkey AS id, c_acctbal FROM customer WHERE c_acctbal > 1000),
+      |edges AS (SELECT c_custkey AS src, (c_custkey * 3 + 1) % (SELECT n FROM nc) AS dst FROM customer),
+      |kept AS (SELECT e.src, e.dst FROM edges e
+      |         JOIN verts a ON e.src = a.id JOIN verts b ON e.dst = b.id)
+      |SELECT true AS exists_after_create, true AS listed,
+      |  (SELECT count(*) FROM verts) AS sub_vertices,
+      |  (SELECT count(*) FROM kept) AS sub_edges,
+      |  (SELECT floor(sum(CAST(c_acctbal AS DOUBLE)) + 0.5 + 0.000001) FROM customer) AS acctbal_sum,
+      |  CAST(1 AS BIGINT) AS vertex_cols_after_remove,
+      |  (SELECT 2 * count(*) FROM customer) AS edges_after_add,
+      |  (SELECT count(*) FROM customer) AS sim_typed_edges,
+      |  (SELECT count(*) FROM customer) AS edges_after_delete,
+      |  true AS dropped""".stripMargin
+
+  private val RoundtripSql =
+    s"""WITH edges AS ($DenseEdgesSql), $NodesSql
+       |SELECT (SELECT count(*) FROM nodes) AS vertices,
+       |  count(*) AS edges, CAST(sum(src * 31 + dst) AS BIGINT) AS edge_checksum
+       |FROM edges""".stripMargin
+
+  private val EstimateSql =
+    s"""WITH edges AS ($OrdersEdgesSql), $NodesSql,
+       |m AS (SELECT (SELECT count(*) FROM nodes) AS n, (SELECT count(*) FROM edges) AS e)
+       |SELECT n AS node_count, e AS relationship_count,
+       |  (n * 32 + e * 16) AS bytes_min, (n * 32 + e * 16) * 3 AS bytes_max FROM m""".stripMargin
 
   /** Dijkstra oracle: unrolled relaxation for distances (same chain as
     * ssspSql), then canonical predecessors (min in-neighbor achieving the

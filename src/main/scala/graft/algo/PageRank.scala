@@ -217,6 +217,7 @@ object PageRank {
 sealed trait Scaler
 object Scaler {
   case object NoScaler extends Scaler
+  case object L1Norm   extends Scaler
   case object L2Norm   extends Scaler
   case object MinMax   extends Scaler
   case object Mean     extends Scaler
@@ -229,6 +230,9 @@ object Scaler {
     s match {
       case NoScaler => df
       case Log      => df.withColumn(valueCol, log(v))
+      case L1Norm =>
+        val n = df.agg(sum(abs(v))).first().getDouble(0)
+        df.withColumn(valueCol, v / lit(if (n == 0.0) 1.0 else n))
       case L2Norm =>
         val n = df.agg(sqrt(sum(v * v))).first().getDouble(0)
         df.withColumn(valueCol, v / lit(if (n == 0.0) 1.0 else n))

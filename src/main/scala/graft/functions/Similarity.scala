@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Pairwise similarity metrics over array columns — the reference's alpha
@@ -73,4 +73,41 @@ object Similarity {
   /** Preferential attachment: |N(a)| * |N(b)|. */
   def preferentialAttachment(a: Column, b: Column): Column =
     size(array_distinct(a)).cast("double") * size(array_distinct(b)).cast("double")
+
+  // ------------------------------------------------------------------
+  // Degree-weighted link-prediction scores (gds.alpha.linkprediction.
+  // {adamicAdar,resourceAllocation}; reference: alpha/alpha-proc/src/main/
+  // java/org/neo4j/gds/functions/linkprediction/). These need each common
+  // neighbor's DEGREE, so they are DataFrame-level: one join per side plus
+  // a degree join — no per-node adjacency materialization, scale-safe.
+  // ------------------------------------------------------------------
+
+  private def commonWithDegree(neighbors: DataFrame, pairs: DataFrame): DataFrame = {
+    val deg = neighbors.groupBy(col("id").as("c"))
+      .agg(count(lit(1)).cast("double").as("cdeg"))
+    pairs
+      .join(neighbors.select(col("id").as("a"), col("nb").as("c")), "a")
+      .join(neighbors.select(col("id").as("b"), col("nb").as("c")), Seq("b", "c"))
+      .join(deg, "c")
+  }
+
+  /** Adamic-Adar over an adjacency table `neighbors(id, nb)` (distinct,
+    * symmetric for undirected semantics) and `pairs(a, b)`:
+    * score = Σ over common neighbors c of 1 / ln(deg(c)). A common neighbor
+    * has degree >= 2 by construction, so ln(deg) > 0. Returns (a, b, score),
+    * 0.0 when the pair shares no neighbor. */
+  def adamicAdar(neighbors: DataFrame, pairs: DataFrame): DataFrame = {
+    val s = commonWithDegree(neighbors, pairs)
+      .groupBy("a", "b").agg(sum(lit(1.0) / log(col("cdeg"))).as("score"))
+    pairs.join(s, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
+  /** Resource allocation: Σ over common neighbors c of 1 / deg(c). */
+  def resourceAllocation(neighbors: DataFrame, pairs: DataFrame): DataFrame = {
+    val s = commonWithDegree(neighbors, pairs)
+      .groupBy("a", "b").agg(sum(lit(1.0) / col("cdeg")).as("score"))
+    pairs.join(s, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("score"), lit(0.0)).as("score"))
+  }
 }
