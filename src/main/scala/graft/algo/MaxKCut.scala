@@ -87,7 +87,8 @@ object MaxKCut {
                pmod(xxhash64(col("id"), lit(seed + 1)), lit(2L)) === lit(iter % 2),
             col("target").cast("int")).otherwise(col("cls")).as("cls"))
         .repartition(parts, col("id")).persist()
-      nextAssign.count()
+      // ONE action per round: the intra-weight job's first pass over
+      // nextAssign populates its cache — no separate count() needed.
       val nextIntra = sameClassWeight(nextAssign)
       if (nextIntra < intra - 1e-12) {
         cached.unpersist(false)

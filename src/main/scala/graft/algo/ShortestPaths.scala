@@ -225,17 +225,124 @@ object ShortestPaths {
 
   /** Yen's K shortest loopless paths between source and target
     * (reference: algo/src/main/java/org/neo4j/gds/paths/yens/Yens.java:1-492).
-    * Classic spur-node formulation over repeated filtered Dijkstra runs;
-    * each candidate spur search is a full distributed relaxation, so this is
-    * intended for small k (the reference's use case too). Returns
-    * (index, totalCost, nodeIds). */
+    * Classic spur-node formulation over repeated filtered Dijkstra runs.
+    *
+    * Yen's is a POINT query: k·|path| inherently sequential Dijkstras of
+    * control flow, not data — so like the Wcc/Scc/SpanningTree tails, the
+    * spur loop hands off to a driver-local binary-heap solver once the
+    * (oriented, weighted) edge table fits (`localSolveThreshold`); larger
+    * graphs run each spur search as a distributed relaxation. Both paths
+    * produce identical results: canonical min-pred shortest paths,
+    * candidates ordered by (cost, path). Returns (index, totalCost,
+    * nodeIds). */
   def yens(graph: PropertyGraph, source: Long, target: Long, k: Int,
            orientation: Orientation = Orientation.Natural,
-           maxRounds: Int = 50): DataFrame = {
+           maxRounds: Int = 50,
+           localSolveThreshold: Long = 200000L): DataFrame = {
     val spark = graph.edges.sparkSession
     import spark.implicits._
     val base = GraphOps.withWeight(graph.orientedEdges(orientation))
       .select("src", "dst", "weight").persist()
+    val accepted =
+      if (base.count() <= localSolveThreshold) {
+        val es = base.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        yensLocal(es, source, target, k)
+      } else yensDistributed(graph, base, source, target, k, maxRounds)
+    base.unpersist(false)
+    accepted.zipWithIndex
+      .map { case ((c, p), i) => (i, c, p) }
+      .toDF("index", "totalCost", "nodeIds")
+  }
+
+  /** Driver-local Yen's over a collected edge list — binary-heap Dijkstra
+    * with the distributed variant's exact conventions (pair-level min
+    * weights, canonical pred = min in-neighbor achieving the final
+    * distance, (cost, path)-ordered candidates). */
+  private def yensLocal(edges: Array[(Long, Long, Double)], source: Long,
+                        target: Long, k: Int): Seq[(Double, Seq[Long])] = {
+    val minW = edges.groupBy(e => (e._1, e._2))
+      .map { case (key, es) => key -> es.map(_._3).min }
+    val adj = minW.toSeq.map { case ((a, b), w) => (a, b, w) }
+      .groupBy(_._1).map { case (a, es) => a -> es.map(e => (e._2, e._3)) }
+    val radj = minW.toSeq.map { case ((a, b), w) => (b, a, w) }
+      .groupBy(_._1).map { case (b, es) => b -> es.map(e => (e._2, e._3)) }
+
+    def dijkstraL(banned: Set[(Long, Long)], removed: Set[Long],
+                  from: Long): Option[(Double, Seq[Long])] = {
+      if (removed(target)) return None
+      val dist = scala.collection.mutable.HashMap.empty[Long, Double]
+      val settled = scala.collection.mutable.HashSet.empty[Long]
+      val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long).reverse)
+      dist(from) = 0.0
+      pq.enqueue((0.0, from))
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (!settled(u) && d == dist(u)) {
+          settled += u
+          for ((v, w) <- adj.getOrElse(u, Nil)
+               if !removed(v) && !banned((u, v))) {
+            val nd = d + w
+            if (nd < dist.getOrElse(v, Double.PositiveInfinity)) {
+              dist(v) = nd
+              pq.enqueue((nd, v))
+            }
+          }
+        }
+      }
+      dist.get(target).map { c =>
+        val path = scala.collection.mutable.ArrayBuffer[Long](target)
+        var cur = target
+        while (cur != from) {
+          val pred = radj(cur).iterator.collect {
+            case (u, w) if !removed(u) && !banned((u, cur)) &&
+              dist.contains(u) && dist(u) + w == dist(cur) => u
+          }.min
+          path.prepend(pred)
+          cur = pred
+        }
+        (c, path.toSeq)
+      }
+    }
+
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[Long])]
+    val candidates = scala.collection.mutable.SortedSet.empty[(Double, Seq[Long])](
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Implicits.seqOrdering[Seq, Long]))
+    dijkstraL(Set.empty, Set.empty, source).foreach(accepted += _)
+    var exhausted = accepted.isEmpty
+    while (!exhausted && accepted.size < k) {
+      val (_, prevPath) = accepted.last
+      for (i <- 0 until prevPath.length - 1) {
+        val spur     = prevPath(i)
+        val rootPath = prevPath.take(i + 1)
+        val banned = accepted.collect {
+          case (_, p) if p.length > i + 1 && p.take(i + 1) == rootPath =>
+            (p(i), p(i + 1))
+        }.toSet
+        val rootSet = rootPath.dropRight(1).toSet
+        dijkstraL(banned, rootSet, spur).foreach { case (spurCost, spurPath) =>
+          val rootCost = rootPath.indices.dropRight(1)
+            .map(j => minW((rootPath(j), rootPath(j + 1)))).sum
+          val full = (rootCost + spurCost, rootPath.dropRight(1) ++ spurPath)
+          if (!accepted.exists(_._2 == full._2)) candidates += full
+        }
+      }
+      if (candidates.isEmpty) exhausted = true
+      else {
+        val best = candidates.head
+        candidates -= best
+        accepted += best
+      }
+    }
+    accepted.toSeq
+  }
+
+  /** Distributed spur loop: each spur search is a full relaxation over the
+    * filtered edge table — the scale path when the edge table exceeds the
+    * local threshold. */
+  private def yensDistributed(graph: PropertyGraph, base: DataFrame,
+                              source: Long, target: Long, k: Int,
+                              maxRounds: Int): Seq[(Double, Seq[Long])] = {
     val baseGraph = PropertyGraph(graph.vertices, base)
 
     def pathOf(g: PropertyGraph): Option[(Double, Seq[Long])] =
@@ -291,9 +398,6 @@ object ShortestPaths {
         accepted += best
       }
     }
-    base.unpersist(false)
-    accepted.zipWithIndex.toSeq
-      .map { case ((c, p), i) => (i, c, p) }
-      .toDF("index", "totalCost", "nodeIds")
+    accepted.toSeq
   }
 }
