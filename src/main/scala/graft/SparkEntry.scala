@@ -100,11 +100,15 @@ object SparkEntry {
     * the init+send step), unrolled as one CTE per superstep. Arithmetic
     * mirrors graft.algo.PageRank exactly: init = (1.0 - 0.85), delta =
     * 0.85 * Σ(delta_prev * w / deg). */
-  private def pagerankSql(edgesSql: String, supersteps: Int, weighted: Boolean): String = {
+  private def pagerankSql(edgesSql: String, supersteps: Int, weighted: Boolean,
+                          sources: Seq[Long] = Seq.empty): String = {
     val deg =
       if (weighted) "SELECT src, sum(weight) AS deg FROM edges GROUP BY src"
       else "SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src"
     val norm = if (weighted) "e.weight / d.deg" else "1.0 / d.deg"
+    val initExpr =
+      if (sources.isEmpty) "(1.0 - 0.85)"
+      else s"CASE WHEN id IN (${sources.mkString(", ")}) THEN (1.0 - 0.85) ELSE 0.0 END"
     val steps = (1 until supersteps).map { k =>
       val p = s"s${k - 1}"
       s"""m$k AS (
@@ -122,7 +126,7 @@ object SparkEntry {
        |deg AS ($deg),
        |medges AS (SELECT e.src, e.dst, $norm AS norm
        |           FROM edges e JOIN deg d ON e.src = d.src WHERE d.deg > 0),
-       |s0 AS (SELECT id, (1.0 - 0.85) AS rank, (1.0 - 0.85) AS delta FROM nodes),
+       |s0 AS (SELECT id, $initExpr AS rank, $initExpr AS delta FROM nodes),
        |$steps
        |SELECT id, floor(rank * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS score FROM s${supersteps - 1} ORDER BY id""".stripMargin
   }
@@ -181,7 +185,8 @@ object SparkEntry {
     * fixpoint in <= 7 rounds at sf0.001/0.01/0.1 (measured); 12 gives ~2x
     * margin while staying under the depth where nested-CTE optimization
     * costs explode in some engines. */
-  private def wccSql(edgesSql: String, rounds: Int, consecutive: Boolean): String = {
+  private def wccSql(edgesSql: String, rounds: Int, consecutive: Boolean,
+                     init: String = "id"): String = {
     // Each round references the previous CTE exactly ONCE (self-loop edges
     // carry a node's own component), keeping engines that inline CTEs at a
     // linear plan instead of an exponential one.
@@ -199,7 +204,7 @@ object SparkEntry {
        |undx AS (SELECT src, dst FROM edges WHERE src <> dst
        |         UNION SELECT dst, src FROM edges WHERE src <> dst
        |         UNION SELECT id, id FROM nodes),
-       |c0 AS (SELECT id, id AS comp FROM nodes),
+       |c0 AS (SELECT id, $init AS comp FROM nodes),
        |$steps
        |$fin""".stripMargin
   }
@@ -761,6 +766,21 @@ object SparkEntry {
     }),
 
     // --- remaining procedure surface, driver-verified (round 2) ---
+    "q_pagerank_personalized" -> ((s, dir) => {
+      // personalized PageRank (sourceNodes init: alpha at sources, 0
+      // elsewhere — reference PageRankComputation.java:71-77); exact
+      // unrolled oracle.
+      val r = PageRank.run(ordersGraph(s, dir), PageRankConfig(tolerance = 0.0,
+        maxIterations = 6, sourceNodes = Seq(0L, 7L, 42L)))
+      r.scores.select(col("id"), graft.core.Num.roundTo(col("score"), 6).as("score")).orderBy("id")
+    }),
+    "q_wcc_seeded" -> ((s, dir) => {
+      // seeded WCC (seedProperty init comp = least(id, seed), reference
+      // incremental-seeding surface); exact unrolled hash-min oracle.
+      val g0 = ordersGraph(s, dir)
+      val g = g0.copy(vertices = g0.vertices.withColumn("seed", col("id") % 7))
+      Wcc.run(g, WccConfig(seedProperty = Some("seed"))).components.orderBy("id")
+    }),
     "q_articlerank" -> ((s, dir) => {
       // ArticleRank = PageRank with degree function deg+avgDeg and delta
       // coefficient avgDeg (reference PageRankAlgorithmFactory.java:103-108);
@@ -1280,6 +1300,12 @@ object SparkEntry {
        "true AS cut_ge_half"),
 
     // --- remaining procedure surface (round 2) ---
+    "q_pagerank_personalized" ->
+      pagerankSql(OrdersEdgesSql, supersteps = 6, weighted = false,
+        sources = Seq(0L, 7L, 42L)),
+    "q_wcc_seeded" ->
+      wccSql(OrdersEdgesSql, rounds = 12, consecutive = false,
+        init = "least(id, id % 7)"),
     "q_articlerank" -> articleRankSql(OrdersEdgesSql, supersteps = 6),
     "q_triangles_stream" ->
       s"WITH ${triangleBaseSql(DenseEdgesSql)}\nSELECT a, b, c FROM tri ORDER BY a, b, c",

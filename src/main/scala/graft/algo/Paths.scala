@@ -138,15 +138,18 @@ object Paths {
     * pairs, self-paths kept unless dropSelf). */
   def collapsePath(edgeChain: Seq[DataFrame], dropSelf: Boolean = true): DataFrame = {
     require(edgeChain.nonEmpty)
-    val collapsed = edgeChain.zipWithIndex
-      .map { case (df, i) => df.select(col("src").as(s"n$i"), col("dst").as(s"n${i + 1}")) }
+    // The result is DISTINCT (start, end) pairs, so each hop and the running
+    // pair set dedupe EARLY: parallel edges and converging paths collapse at
+    // every step, keeping intermediates bounded by |V|^2 — a k-hop chain
+    // over a web-scale multigraph would otherwise multiply wedge counts.
+    val collapsed = edgeChain
+      .map(df => df.select(col("src"), col("dst")).distinct())
       .reduceLeft { (acc, next) =>
-        val k = acc.columns.last
-        acc.join(next, k)
+        acc.select(col("src"), col("dst").as("mid"))
+          .join(next.select(col("src").as("mid"), col("dst")), "mid")
+          .select("src", "dst").distinct()
       }
-    val last = s"n${edgeChain.size}"
-    val out = collapsed.select(col("n0").as("src"), col(last).as("dst")).distinct()
-    if (dropSelf) out.filter(col("src") =!= col("dst")) else out
+    if (dropSelf) collapsed.filter(col("src") =!= col("dst")) else collapsed
   }
 
   /** Deterministic seeded random walks (`gds.alpha.randomWalk.stream`,
