@@ -78,27 +78,46 @@ object ShortestPaths {
 
     // Iterative path reconstruction: walk each node's predecessor chain,
     // prepending ancestors until every walk reaches the source. Rounds =
-    // max hop count of any shortest path; each round is one co-partitioned
-    // join against the (id -> pred) forest.
+    // max hop count of the canonical pred chains (NOT bounded by the
+    // relaxation round count — an equal-cost min-pred chain can have more
+    // hops than the first-discovered path), so convergence stays observed;
+    // but the walk batches `fuse` hops per driver action as one lazy
+    // plan-truncated chain: walks already at the source are fixpoint rows,
+    // so over-running inside a batch is a no-op.
     val forest = withPred.select(col("id").as("cur0"), col("pred").as("prev"))
       .repartition(parts, col("cur0")).persist()
-    var walk = withPred
-      .select(col("id"), col("id").as("cur"), array(col("id")).as("path"))
-      .persist()
-    var remaining = walk.filter(col("cur") =!= source).limit(1).count()
+    def step(w: DataFrame): DataFrame = w
+      .join(forest, w("cur") === forest("cur0"), "left")
+      .select(col("id"),
+        when(col("cur") === source || col("prev").isNull, col("cur"))
+          .otherwise(col("prev")).as("cur"),
+        when(col("cur") === source || col("prev").isNull, col("path"))
+          .otherwise(concat(array(col("prev")), col("path"))).as("path"))
+    // ONE action per batch: the aggregate fully populates the cache and
+    // returns the unfinished-walk count in the same job.
+    def materialize(df: DataFrame): (DataFrame, Long) = {
+      val cached = df.persist()
+      val left = cached.agg(count(when(col("cur") =!= source, lit(1))))
+        .first().getLong(0)
+      (cached, left)
+    }
+    val fuse = 8
+    var (cached, remaining) = materialize(withPred
+      .select(col("id"), col("id").as("cur"), array(col("id")).as("path")))
+    var walk = GraftSqlCompat.truncatePlan(cached)
     var rounds = 0
     while (remaining > 0 && rounds < maxRounds) {
-      rounds += 1
-      val next = walk
-        .join(forest, walk("cur") === forest("cur0"), "left")
-        .select(col("id"),
-          when(col("cur") === source || col("prev").isNull, col("cur"))
-            .otherwise(col("prev")).as("cur"),
-          when(col("cur") === source || col("prev").isNull, col("path"))
-            .otherwise(concat(array(col("prev")), col("path"))).as("path"))
-        .persist()
-      remaining = next.filter(col("cur") =!= source).limit(1).count()
-      walk.unpersist(false)
+      var chained = walk
+      var b = 0
+      while (b < fuse && rounds < maxRounds) {
+        b += 1
+        rounds += 1
+        chained = GraftSqlCompat.truncatePlan(step(chained))
+      }
+      val (next, left) = materialize(chained)
+      remaining = left
+      cached.unpersist(false)
+      cached = next
       walk = GraftSqlCompat.truncatePlan(next)
     }
     forest.unpersist(false)
