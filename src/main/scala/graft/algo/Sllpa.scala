@@ -41,6 +41,10 @@ object Sllpa {
               lit(true).as(SuperstepLoop.ActiveCol))
       .repartition(parts, col("id"))
 
+    // NOTE: measured — fusing supersteps (LoopConfig.fusedSteps) does NOT
+    // help here: SLPA's cost is its per-round shuffles (speak + two listen
+    // aggregations), not driver actions, and the 5-deep fused plan pays
+    // ~2x first-run codegen. One action per round stays.
     val loop = SuperstepLoop.run(init, LoopConfig(maxIterations)) { (state, iter) =>
       // speaker: uniform index into memory = frequency-proportional draw
       val spoken = state
