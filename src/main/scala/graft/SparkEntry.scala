@@ -297,8 +297,7 @@ object SparkEntry {
       val r = Louvain.run(g)
       val n = g.vertices.count()
       val assigned = r.communities.count()
-      val singletonQ = Louvain.modularity(g,
-        g.vertices.select(col("id"), col("id").as("communityId")))
+      val singletonQ = Louvain.singletonModularity(g)
       val spark = s; import spark.implicits._
       Seq((assigned == n, r.modularity > singletonQ))
         .toDF("partition_complete", "improves_singletons")

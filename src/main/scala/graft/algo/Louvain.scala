@@ -320,6 +320,29 @@ object Louvain {
     (intra + 2.0 * selfW) / m2 - totSq / (m2 * m2)
   }
 
+  /** Modularity of the singleton partition (every node its own community)
+    * in two aggregation passes and zero joins: intra weight is the
+    * self-loop weight only, so Q = 2*selfSum/m2 - Σ_v k_v² / m2². Matches
+    * `modularity(g, identity)` exactly (asserted in LouvainSpec). */
+  def singletonModularity(graph: PropertyGraph, weighted: Boolean = false): Double = {
+    val ew = (if (weighted) GraphOps.withWeight(graph.edges)
+              else graph.edges.select(col("src"), col("dst")).withColumn("weight", lit(1.0)))
+    val nonLoop = ew.filter(col("src") =!= col("dst"))
+    // k_v = symmetric non-loop degree + 2 * self-loop weight
+    val contrib = nonLoop.select(col("src"), col("weight"))
+      .unionByName(nonLoop.select(col("dst").as("src"), col("weight")))
+      .unionByName(ew.filter(col("src") === col("dst"))
+        .select(col("src"), (col("weight") * lit(2.0)).as("weight")))
+    val k = contrib.groupBy("src").agg(sum("weight").as("k"))
+    val row = k.agg(coalesce(sum("k"), lit(0.0)),
+      coalesce(sum(col("k") * col("k")), lit(0.0))).first()
+    val m2 = row.getDouble(0)
+    if (m2 == 0.0) return 0.0
+    val selfSum = ew.filter(col("src") === col("dst"))
+      .agg(coalesce(sum("weight"), lit(0.0))).first().getDouble(0)
+    2.0 * selfSum / m2 - row.getDouble(1) / (m2 * m2)
+  }
+
   /** Modularity of a full-resolution assignment (id, communityId) on the
     * ORIGINAL graph — the gds.beta.modularityOptimization stats value. */
   def modularity(graph: PropertyGraph, assignment: DataFrame,

@@ -73,5 +73,15 @@ class LouvainSpec extends AnyFunSuite with SparkTestBase {
     // modularity() on the final assignment agrees with the level-loop value
     val recomputed = Louvain.modularity(g, r.communities)
     assert(math.abs(recomputed - r.modularity) < 1e-9)
+    // the one-pass singleton shortcut agrees with the general formula
+    assert(math.abs(Louvain.singletonModularity(g) - singletonQ) < 1e-12)
+  }
+
+  test("singletonModularity handles self-loops and weights like modularity()") {
+    val g = weightedGraphOf(4,
+      Seq((0L, 1L, 2.0), (1L, 2L, 1.0), (2L, 2L, 3.0), (3L, 0L, 0.5)))
+    val general = Louvain.modularity(g,
+      g.vertices.select(col("id"), col("id").as("communityId")), weighted = true)
+    assert(math.abs(Louvain.singletonModularity(g, weighted = true) - general) < 1e-12)
   }
 }
