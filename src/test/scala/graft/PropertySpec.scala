@@ -58,6 +58,45 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     })
   }
 
+  test("dijkstra: distances match local Bellman-Ford; paths walk real edges") {
+    val genWeighted: Gen[(Int, List[(Long, Long, Double)])] = for {
+      n     <- Gen.choose(2, 16)
+      m     <- Gen.choose(1, 30)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L)
+        b <- Gen.choose(0L, n - 1L)
+        w <- Gen.choose(1, 9)
+      } yield (a, b, w.toDouble))
+    } yield (n, edges)
+    assertHolds(Prop.forAll(genWeighted) { case (n, edges) =>
+      val g = weightedGraphOf(n, edges)
+      // local Bellman-Ford over pair-level min weights
+      val minW = edges.filter(e => e._1 < n && e._2 < n)
+        .groupBy(e => (e._1, e._2)).map { case (k, es) => k -> es.map(_._3).min }
+      val dist = scala.collection.mutable.Map(0L -> 0.0)
+      var changed = true
+      while (changed) {
+        changed = false
+        minW.foreach { case ((a, b), w) =>
+          if (dist.contains(a) && dist(a) + w < dist.getOrElse(b, Double.MaxValue)) {
+            dist(b) = dist(a) + w; changed = true
+          }
+        }
+      }
+      val rows = graft.algo.ShortestPaths.dijkstraSingleSource(g, source = 0L).collect()
+      val got = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val distOk = got == dist.toMap
+      val pathsOk = rows.forall { r =>
+        val p = r.getSeq[Long](3)
+        p.head == 0L && p.last == r.getLong(0) &&
+          p.sliding(2).filter(_.length == 2)
+            .map(s => minW.getOrElse((s(0), s(1)), Double.NaN)).sum ==
+            (if (p.length == 1) 0.0 else r.getDouble(1))
+      }
+      distOk && pathsOk
+    })
+  }
+
   test("triangle count: wedge join matches brute-force enumeration") {
     assertHolds(Prop.forAll(genGraph) { case (n, edges) =>
       val g = graphOf(n, edges)
