@@ -17,7 +17,16 @@ final case class LouvainConfig(
     * oscillations synchronous local moves exhibit on symmetric structures. */
   schedule: Schedule = Schedule.Sync,
   weighted: Boolean = false,
-  numPartitions: Option[Int] = None)
+  numPartitions: Option[Int] = None,
+  /** Level graphs whose edge count is at or below this bound run their
+    * remaining levels driver-locally (same semantics, zero per-round job
+    * latency). Louvain's coarsening shrinks the level graph geometrically,
+    * so at ANY input scale the tail levels drop below this bound — paying
+    * multi-second distributed round latency on a 25-node community graph
+    * is pure waste (measured: 10 of 20 rounds on the sf0.1 bench ran on
+    * level graphs of <=25 nodes). 500k edges ~ 12 MB driver footprint.
+    * Set to -1 to force every level distributed (parity tests do). */
+  localTailThreshold: Long = 500000L)
 
 final case class LouvainResult(
   communities: DataFrame,      // (id, communityId)
@@ -54,6 +63,8 @@ object Louvain {
     // session width. (AQE would do this coalescing, but it's off in loops.)
     val sessionParts = spark.sessionState.conf.numShufflePartitions
     val e0 = graph.edges.count()
+    if (cfg.localTailThreshold >= 0L && e0 <= cfg.localTailThreshold)
+      return runFullyLocal(graph, cfg)
     val parts = cfg.numPartitions.getOrElse(
       math.max(2, math.min(sessionParts, (e0 / 50000L).toInt + 1)))
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -103,6 +114,26 @@ object Louvain {
     var m2Known = Double.NaN
 
     while (!done && level < cfg.maxLevels) {
+      // Local-tail handoff: coarsening shrinks the level graph geometrically,
+      // so once it fits the bound the remaining levels run driver-locally
+      // with identical semantics — one broadcast join composes the result.
+      if (cfg.localTailThreshold >= 0L && sym.count() <= cfg.localTailThreshold) {
+        val spark    = sym.sparkSession
+        val nodeIds  = nodes.select("id").collect().map(_.getLong(0))
+        val symArr   = sym.select("src", "dst", "weight").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val selfMap  = self.select("id", "self").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val (mapping, localMods, ranLevels) =
+          runLocalLevels(nodeIds, symArr, selfMap, cfg, level, prevQ, m2Known)
+        sym.unpersist(false)
+        val mapDf = spark.createDataFrame(mapping.toSeq.map(p => Tuple2(p._1, p._2)))
+          .toDF("communityId", "__finalComm")
+        val out = assign.join(broadcast(mapDf), "communityId")
+          .select(col("id"), col("__finalComm").as("communityId"))
+        val mods = modularities ++ localMods
+        return LouvainResult(out, mods.lastOption.getOrElse(0.0), mods, ranLevels)
+      }
       level += 1
       val (state, anyMoved, m2) = localMoves(nodes, sym, self, cfg, parts, m2Known)
       m2Known = m2
@@ -152,6 +183,220 @@ object Louvain {
 
     val out = assign.select(col("id"), col("communityId"))
     LouvainResult(out, modularities.lastOption.getOrElse(0.0), modularities, level)
+  }
+
+  /** Fully-local run for inputs already below the tail threshold: collect
+    * the raw edge list, symmetrize locally, run every level with
+    * [[runLocalLevels]]. The distributed path's arithmetic is replicated
+    * exactly (integer-valued weights make every partial sum exact and
+    * order-independent), so results match the distributed path — asserted
+    * by LouvainSpec's local/distributed parity test. */
+  private def runFullyLocal(graph: PropertyGraph, cfg: LouvainConfig): LouvainResult = {
+    val spark = graph.edges.sparkSession
+    val ew = (if (cfg.weighted) GraphOps.withWeight(graph.edges)
+              else graph.edges.select(col("src"), col("dst")).withColumn("weight", lit(1.0)))
+      .select(col("src"), col("dst"), col("weight").cast("double"))
+    val raw     = ew.collect()
+    val nodeIds = graph.vertices.select("id").collect().map(_.getLong(0))
+    val symMap  = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+    val selfMap = scala.collection.mutable.HashMap.empty[Long, Double]
+    raw.foreach { r =>
+      val s = r.getLong(0); val d = r.getLong(1); val w = r.getDouble(2)
+      if (s == d) selfMap(s) = selfMap.getOrElse(s, 0.0) + w
+      else {
+        symMap((s, d)) = symMap.getOrElse((s, d), 0.0) + w
+        symMap((d, s)) = symMap.getOrElse((d, s), 0.0) + w
+      }
+    }
+    val symArr = symMap.iterator.map { case ((s, d), w) => (s, d, w) }.toArray
+    val (mapping, mods, ranLevels) = runLocalLevels(
+      nodeIds, symArr, selfMap, cfg, 0, Double.NegativeInfinity, Double.NaN)
+    val out = spark.createDataFrame(nodeIds.toSeq.map(id => (id, mapping(id))))
+      .toDF("id", "communityId")
+    LouvainResult(out, mods.lastOption.getOrElse(0.0), mods, ranLevels)
+  }
+
+  /** Driver-local level loop — semantics identical to the distributed
+    * runWithParts + localMoves (same gain formula, smaller-community-id
+    * tie-break, Halves phase hash via Spark's own XXH64, per-round ΔQ stop
+    * rule, coarsening and modularity arithmetic), on flat arrays.
+    *
+    * @param startLevel levels already completed by the distributed loop
+    * @param prevQ0     modularity of the last completed level (-inf at start)
+    * @param m2Known0   invariant 2m from the distributed loop (NaN at start)
+    * @return (levelNode -> final community for every input node,
+    *         modularities of the locally-run levels, total levels ran) */
+  private[algo] def runLocalLevels(
+      nodeIds0: Array[Long],
+      sym0: Array[(Long, Long, Double)],
+      self0: collection.Map[Long, Double],
+      cfg: LouvainConfig,
+      startLevel: Int,
+      prevQ0: Double,
+      m2Known0: Double): (Map[Long, Long], Vector[Double], Int) = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import scala.collection.mutable
+
+    var ids  = nodeIds0
+    var sym  = sym0
+    var self: collection.Map[Long, Double] = self0
+    val assign = mutable.HashMap.empty[Long, Long]
+    nodeIds0.foreach(id => assign(id) = id)
+
+    var modularities = Vector.empty[Double]
+    var level   = startLevel
+    var prevQ   = prevQ0
+    var m2Known = m2Known0
+    var done    = false
+
+    while (!done && level < cfg.maxLevels) {
+      level += 1
+      val n   = ids.length
+      val idx = mutable.HashMap.empty[Long, Int]
+      var i = 0
+      while (i < n) { idx(ids(i)) = i; i += 1 }
+      // CSR adjacency over known-known edges; weight toward unknown dsts
+      // still counts into k (mirrors the distributed deg computation, which
+      // sums ALL outgoing sym weight before the state join drops strays).
+      val known  = sym.filter(e => idx.contains(e._1))
+      val degCnt = new Array[Int](n)
+      known.foreach { e => degCnt(idx(e._1)) += 1 }
+      val adjOff = new Array[Int](n + 1)
+      i = 0
+      while (i < n) { adjOff(i + 1) = adjOff(i) + degCnt(i); i += 1 }
+      val adjDst = new Array[Int](known.length)
+      val adjW   = new Array[Double](known.length)
+      val kExtra = new Array[Double](n)
+      val cursor = java.util.Arrays.copyOf(adjOff, n)
+      var nKnown = 0
+      known.foreach { e =>
+        val s = idx(e._1)
+        idx.get(e._2) match {
+          case Some(d) =>
+            val p = cursor(s); cursor(s) = p + 1
+            adjDst(p) = d; adjW(p) = e._3; nKnown += 1
+          case None => kExtra(s) += e._3
+        }
+      }
+      // compact gaps left by unknown-dst edges (cursor < next offset)
+      val selfArr = new Array[Double](n)
+      i = 0
+      while (i < n) { selfArr(i) = self.getOrElse(ids(i), 0.0); i += 1 }
+      val k = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        var s = kExtra(i); var p = adjOff(i)
+        while (p < cursor(i)) { s += adjW(p); p += 1 }
+        k(i) = s + 2.0 * selfArr(i); i += 1
+      }
+      val m2 = if (!m2Known.isNaN) m2Known else k.sum
+      m2Known = m2
+
+      val comm = ids.clone()
+      var anyMoved = false
+      if (m2 != 0.0) {
+        var iter   = 0
+        var moved  = true
+        var prevDq = Double.MaxValue
+        while (moved && iter < cfg.maxInnerIterations) {
+          iter += 1
+          val tot = mutable.HashMap.empty[Long, Double]
+          i = 0
+          while (i < n) { tot(comm(i)) = tot.getOrElse(comm(i), 0.0) + k(i); i += 1 }
+          val next    = new Array[Long](n)
+          var wants   = 0L
+          var gainSum = 0.0
+          i = 0
+          while (i < n) {
+            val cur   = comm(i)
+            val candW = mutable.HashMap.empty[Long, Double]
+            var p = adjOff(i)
+            while (p < cursor(i)) {
+              val c = comm(adjDst(p))
+              candW(c) = candW.getOrElse(c, 0.0) + adjW(p); p += 1
+            }
+            if (!candW.contains(cur)) candW(cur) = 0.0
+            val ki = k(i)
+            var bestCand = Long.MaxValue
+            var bestGain = Double.NegativeInfinity
+            var sg       = 0.0
+            candW.foreach { case (cand, w) =>
+              val gain = w - ki * (tot(cand) - (if (cand == cur) ki else 0.0)) / m2
+              if (cand == cur) sg = gain
+              if (gain > bestGain || (gain == bestGain && cand < bestCand)) {
+                bestGain = gain; bestCand = cand
+              }
+            }
+            val wantsMove = bestGain > sg && bestCand != cur
+            val phase =
+              if (cfg.schedule == Schedule.FullSync) true
+              else (XXH64.hashLong(iter.toLong, XXH64.hashLong(ids(i), 42L)) & 1L) == 0L
+            if (wantsMove) wants += 1
+            if (phase && wantsMove) { next(i) = bestCand; gainSum += bestGain - sg }
+            else next(i) = cur
+            i += 1
+          }
+          System.arraycopy(next, 0, comm, 0, n)
+          val roundDq = 2.0 * gainSum / m2
+          moved = wants > 0L && (roundDq > cfg.tolerance || prevDq > cfg.tolerance)
+          prevDq = roundDq
+          anyMoved ||= roundDq > 0.0
+        }
+      }
+
+      // modularity of this level (mirrors modularityGivenM2)
+      val q = if (m2 == 0.0) 0.0 else {
+        val tot = mutable.HashMap.empty[Long, Double]
+        var intra = 0.0
+        i = 0
+        while (i < n) {
+          tot(comm(i)) = tot.getOrElse(comm(i), 0.0) + k(i)
+          var p = adjOff(i)
+          while (p < cursor(i)) {
+            if (comm(adjDst(p)) == comm(i)) intra += adjW(p); p += 1
+          }
+          intra += 2.0 * selfArr(i)
+          i += 1
+        }
+        var totSq = 0.0
+        tot.valuesIterator.foreach(t => totSq += t * t)
+        intra / m2 - totSq / (m2 * m2)
+      }
+      modularities :+= q
+      if (q - prevQ <= cfg.tolerance && level > 1) {
+        level -= 1
+        modularities = modularities.dropRight(1)
+        done = true
+      } else {
+        prevQ = q
+        val keys = assign.keysIterator.toArray
+        keys.foreach { o => assign(o) = comm(idx(assign(o))) }
+        // coarsen: intra weight (summed, then halved — exact for binary
+        // floats) folds into the new node's self weight
+        val newSym   = mutable.HashMap.empty[(Long, Long), Double]
+        val intraAgg = mutable.HashMap.empty[Long, Double]
+        val newSelf  = mutable.HashMap.empty[Long, Double]
+        i = 0
+        while (i < n) {
+          val cs = comm(i)
+          var p = adjOff(i)
+          while (p < cursor(i)) {
+            val cd = comm(adjDst(p))
+            if (cs == cd) intraAgg(cs) = intraAgg.getOrElse(cs, 0.0) + adjW(p)
+            else newSym((cs, cd)) = newSym.getOrElse((cs, cd), 0.0) + adjW(p)
+            p += 1
+          }
+          if (selfArr(i) != 0.0) newSelf(cs) = newSelf.getOrElse(cs, 0.0) + selfArr(i)
+          i += 1
+        }
+        intraAgg.foreach { case (c, w) => newSelf(c) = newSelf.getOrElse(c, 0.0) + w / 2.0 }
+        ids  = comm.distinct
+        sym  = newSym.iterator.map { case ((s, d), w) => (s, d, w) }.toArray
+        self = newSelf
+        if (!anyMoved) done = true
+      }
+    }
+    (assign.toMap, modularities, level)
   }
 
   /** Inner local-move loop on one level graph.

@@ -77,6 +77,30 @@ class LouvainSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(Louvain.singletonModularity(g) - singletonQ) < 1e-12)
   }
 
+  test("local tail and distributed path agree exactly (fully local + handoff)") {
+    // seeded random graph: 60 nodes, ~180 edges, some parallel + self loops
+    val rnd = new scala.util.Random(7L)
+    val edges = Seq.fill(200)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val g = graphOf(60, edges)
+    val dist  = communitiesOf(g, LouvainConfig(localTailThreshold = -1L))
+    val local = communitiesOf(g, LouvainConfig(localTailThreshold = Long.MaxValue))
+    assert(local == dist, "fully-local run must equal the distributed run")
+    val rDist  = Louvain.run(g, LouvainConfig(localTailThreshold = -1L))
+    val rLocal = Louvain.run(g, LouvainConfig(localTailThreshold = Long.MaxValue))
+    assert(rDist.ranLevels == rLocal.ranLevels)
+    assert(rDist.modularities.zip(rLocal.modularities).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 })
+    // handoff mid-run: level 1 distributed, coarser levels local
+    val tri = (0 until 4).flatMap { t =>
+      val b = 3L * t; Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+    }
+    val ring = Seq((2L, 3L), (5L, 6L), (8L, 9L), (11L, 0L))
+    val g2 = graphOf(12, tri ++ ring)
+    val h  = communitiesOf(g2, LouvainConfig(localTailThreshold = 10L)) // level-1 sym=32 > 10
+    val d2 = communitiesOf(g2, LouvainConfig(localTailThreshold = -1L))
+    assert(h == d2, "handoff mid-run must equal the distributed run")
+  }
+
   test("singletonModularity handles self-loops and weights like modularity()") {
     val g = weightedGraphOf(4,
       Seq((0L, 1L, 2.0), (1L, 2L, 1.0), (2L, 2L, 3.0), (3L, 0L, 0.5)))
