@@ -81,11 +81,30 @@ object MsBfs {
   def allShortestPaths(graph: PropertyGraph,
                        sources: Option[DataFrame] = None,
                        orientation: Orientation = Orientation.Natural,
-                       maxDepth: Int = 100): DataFrame = {
+                       maxDepth: Int = 100,
+                       localTailThreshold: Long = LocalTailEdges): DataFrame = {
+    val spark = graph.edges.sparkSession
     val srcDf = sources.getOrElse(graph.vertices.select("id"))
-    distSigma(graph.orientedEdges(orientation), srcDf, maxDepth)
-      .select(col("s").as("sourceNodeId"), col("id").as("targetNodeId"),
-        col("dist").cast("double").as("distance"))
+    val e     = graph.orientedEdges(orientation)
+    localCsr(e, graph, srcDf, localTailThreshold) match {
+      case Some((csr, srcIdx, ids)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        val dist = new Array[Int](ids.length)
+        srcIdx.foreach { s =>
+          bfs(csr, s, maxDepth, dist)
+          var v = 0
+          while (v < ids.length) {
+            if (dist(v) >= 0) out += ((ids(s), ids(v), dist(v).toDouble))
+            v += 1
+          }
+        }
+        spark.createDataFrame(out.toSeq)
+          .toDF("sourceNodeId", "targetNodeId", "distance")
+      case None =>
+        distSigma(e, srcDf, maxDepth)
+          .select(col("s").as("sourceNodeId"), col("id").as("targetNodeId"),
+            col("dist").cast("double").as("distance"))
+    }
   }
 
   /** Closeness centrality (gds.alpha.closeness.*): for each node v,
@@ -95,36 +114,75 @@ object MsBfs {
     * MSClosenessCentrality.centrality(...):148-156. */
   def closeness(graph: PropertyGraph,
                 orientation: Orientation = Orientation.Undirected,
-                wassermanFaust: Boolean = false): DataFrame = {
+                wassermanFaust: Boolean = false,
+                localTailThreshold: Long = LocalTailEdges): DataFrame = {
+    val spark = graph.edges.sparkSession
     val n = graph.vertices.count()
-    val reach = distSigma(graph.orientedEdges(orientation), graph.vertices.select("id"))
-      .filter(col("dist") > 0)
-    val agg = reach.groupBy("id").agg(
-      sum("dist").as("farness"), count(lit(1)).as("comp"))
-    val base = col("comp").cast("double") / col("farness")
-    val cent =
-      if (wassermanFaust)
-        base * (col("comp").cast("double") / lit((n - 1).toDouble))
-      else base
-    graph.vertices.select("id").join(agg, Seq("id"), "left")
-      .select(col("id"),
-        when(col("farness").isNull || col("farness") === 0, lit(0.0))
-          .otherwise(cent).as("centrality"))
+    val e = graph.orientedEdges(orientation)
+    localCsr(e, graph, graph.vertices.select("id"), localTailThreshold) match {
+      case Some((csr, srcIdx, ids)) =>
+        val nn = ids.length
+        val (farness, comp) = reduceChunks(csr, srcIdx, nn, 2) { (s, acc, dist) =>
+          var v = 0
+          while (v < nn) {
+            if (dist(v) > 0) { acc(0)(v) += dist(v).toDouble; acc(1)(v) += 1.0 }
+            v += 1
+          }
+        } match { case Array(f, c) => (f, c) }
+        val rows = ids.indices.map { v =>
+          val cent =
+            if (farness(v) == 0.0) 0.0
+            else if (wassermanFaust) comp(v) / farness(v) * (comp(v) / (n - 1).toDouble)
+            else comp(v) / farness(v)
+          (ids(v), cent)
+        }
+        spark.createDataFrame(rows).toDF("id", "centrality")
+      case None =>
+        val reach = distSigma(e, graph.vertices.select("id"))
+          .filter(col("dist") > 0)
+        val agg = reach.groupBy("id").agg(
+          sum("dist").as("farness"), count(lit(1)).as("comp"))
+        val base = col("comp").cast("double") / col("farness")
+        val cent =
+          if (wassermanFaust)
+            base * (col("comp").cast("double") / lit((n - 1).toDouble))
+          else base
+        graph.vertices.select("id").join(agg, Seq("id"), "left")
+          .select(col("id"),
+            when(col("farness").isNull || col("farness") === 0, lit(0.0))
+              .otherwise(cent).as("centrality"))
+    }
   }
 
   /** Harmonic centrality (gds.alpha.closeness.harmonic.*):
     * inverseFarness(v) = sum of 1/dist(s,v); centrality = that / (n-1).
     * Mirrors HarmonicCentrality.java:56-70 + result scaling. */
   def harmonic(graph: PropertyGraph,
-               orientation: Orientation = Orientation.Undirected): DataFrame = {
+               orientation: Orientation = Orientation.Undirected,
+               localTailThreshold: Long = LocalTailEdges): DataFrame = {
+    val spark = graph.edges.sparkSession
     val n = graph.vertices.count()
-    val reach = distSigma(graph.orientedEdges(orientation), graph.vertices.select("id"))
-      .filter(col("dist") > 0)
-    val agg = reach.groupBy("id")
-      .agg(sum(lit(1.0) / col("dist")).as("inv"))
-    graph.vertices.select("id").join(agg, Seq("id"), "left")
-      .select(col("id"),
-        (coalesce(col("inv"), lit(0.0)) / lit((n - 1).toDouble)).as("centrality"))
+    val e = graph.orientedEdges(orientation)
+    localCsr(e, graph, graph.vertices.select("id"), localTailThreshold) match {
+      case Some((csr, srcIdx, ids)) =>
+        val nn  = ids.length
+        val inv = reduceChunks(csr, srcIdx, nn, 1) { (s, acc, dist) =>
+          var v = 0
+          while (v < nn) {
+            if (dist(v) > 0) acc(0)(v) += 1.0 / dist(v); v += 1
+          }
+        }.head
+        val rows = ids.indices.map(v => (ids(v), inv(v) / (n - 1).toDouble))
+        spark.createDataFrame(rows).toDF("id", "centrality")
+      case None =>
+        val reach = distSigma(e, graph.vertices.select("id"))
+          .filter(col("dist") > 0)
+        val agg = reach.groupBy("id")
+          .agg(sum(lit(1.0) / col("dist")).as("inv"))
+        graph.vertices.select("id").join(agg, Seq("id"), "left")
+          .select(col("id"),
+            (coalesce(col("inv"), lit(0.0)) / lit((n - 1).toDouble)).as("centrality"))
+    }
   }
 
   /** Brandes betweenness centrality, optionally over a sampled source set
@@ -141,12 +199,23 @@ object MsBfs {
   // benchmark shape). Only the forward distSigma loop uses the loop conf.
   def betweenness(graph: PropertyGraph,
                   sources: Option[DataFrame] = None,
-                  orientation: Orientation = Orientation.Natural): DataFrame = {
+                  orientation: Orientation = Orientation.Natural,
+                  localTailThreshold: Long = LocalTailEdges): DataFrame = {
     val spark = graph.edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val edges = graph.orientedEdges(orientation).select("src", "dst").distinct()
-      .repartition(parts, col("src")).persist()
-    val srcDf = sources.getOrElse(graph.vertices.select("id"))
+    val edgesRaw = graph.orientedEdges(orientation).select("src", "dst").distinct()
+    val srcDf0   = sources.getOrElse(graph.vertices.select("id"))
+    val divisor0 = orientation match {
+      case Orientation.Undirected => 2.0
+      case _                      => 1.0
+    }
+    localCsr(edgesRaw, graph, srcDf0, localTailThreshold) match {
+      case Some((csr, srcIdx, ids)) =>
+        return localBrandes(spark, csr, srcIdx, ids, divisor0)
+      case None => ()
+    }
+    val edges = edgesRaw.repartition(parts, col("src")).persist()
+    val srcDf = srcDf0
 
     val visited = distSigma(edges, srcDf).persist()
     val maxDRow = visited.agg(max("dist")).first()
@@ -196,5 +265,171 @@ object MsBfs {
     visited.unpersist(false)
     edges.unpersist(false)
     result
+  }
+
+  // ------------------------- driver-local tail -------------------------
+  // BFS-family algorithms on a graph below these bounds run driver-locally
+  // with mathematically identical semantics (integer dists and sigma counts
+  // are exact; dependency/centrality sums differ only in FP order, which
+  // the 6-dp oracle rounding absorbs). At web scale the distributed MS-BFS
+  // is the only option; paying ~0.5s of shuffle-round latency PER BFS LEVEL
+  // on a 300-node fixture graph is pure waste. Parity local==distributed is
+  // asserted in CentralitySpec. Sources fan out over a deterministic
+  // chunk-ordered parallel reduce, so results are run-stable.
+
+  /** Edge-count bound for the local tail (-1 disables). */
+  val LocalTailEdges: Long = 500000L
+  /** sources x edges work bound (single-BFS traversals) for the local tail. */
+  private val LocalWorkBound = 4e9
+
+  private final case class Csr(off: Array[Int], nbr: Array[Int])
+
+  /** Collects the EXACT edge rows the distributed path would consume into a
+    * CSR when the graph and the sources x edges work fit the local bounds.
+    * Returns (csr, source indices, vertex ids) or None to stay distributed. */
+  private def localCsr(edges: DataFrame, graph: PropertyGraph, sources: DataFrame,
+                       threshold: Long): Option[(Csr, Array[Int], Array[Long])] = {
+    if (threshold < 0L) return None
+    val eCount = edges.count()
+    if (eCount > threshold) return None
+    val nSrc = sources.count()
+    if (nSrc.toDouble * eCount > LocalWorkBound) return None
+    val ids = graph.vertices.select("id").collect().map(_.getLong(0))
+    val idx = new scala.collection.mutable.HashMap[Long, Int]
+    var i = 0
+    while (i < ids.length) { idx(ids(i)) = i; i += 1 }
+    val rows = edges.select("src", "dst").collect()
+    val cnt  = new Array[Int](ids.length)
+    rows.foreach { r =>
+      (idx.get(r.getLong(0)), idx.get(r.getLong(1))) match {
+        case (Some(s), Some(_)) => cnt(s) += 1
+        case _                  => ()
+      }
+    }
+    val off = new Array[Int](ids.length + 1)
+    i = 0
+    while (i < ids.length) { off(i + 1) = off(i) + cnt(i); i += 1 }
+    val nbr    = new Array[Int](off(ids.length))
+    val cursor = java.util.Arrays.copyOf(off, ids.length)
+    rows.foreach { r =>
+      (idx.get(r.getLong(0)), idx.get(r.getLong(1))) match {
+        case (Some(s), Some(d)) => nbr(cursor(s)) = d; cursor(s) += 1
+        case _                  => ()
+      }
+    }
+    val srcIdx = sources.select("id").collect()
+      .flatMap(r => idx.get(r.getLong(0)))
+    Some((Csr(off, nbr), srcIdx, ids))
+  }
+
+  /** BFS from `s` filling `dist` (-1 = unreached); returns the visit order
+    * and leaves hop counts in `dist`. */
+  private def bfs(csr: Csr, s: Int, maxDepth: Int, dist: Array[Int]): Array[Int] = {
+    java.util.Arrays.fill(dist, -1)
+    val order = new Array[Int](dist.length)
+    var head = 0; var tail = 0
+    dist(s) = 0; order(tail) = s; tail += 1
+    while (head < tail) {
+      val v = order(head); head += 1
+      if (dist(v) < maxDepth) {
+        var p = csr.off(v)
+        while (p < csr.off(v + 1)) {
+          val w = csr.nbr(p)
+          if (dist(w) < 0) { dist(w) = dist(v) + 1; order(tail) = w; tail += 1 }
+          p += 1
+        }
+      }
+    }
+    java.util.Arrays.copyOf(order, tail)
+  }
+
+  /** Deterministic parallel accumulation over sources: fixed-order chunks
+    * each fill their own accumulator arrays (one BFS scratch per chunk);
+    * chunk results reduce in chunk order, so FP sums are run-stable. */
+  private def reduceChunks(csr: Csr, srcIdx: Array[Int], n: Int, nAcc: Int)
+                          (body: (Int, Array[Array[Double]], Array[Int]) => Unit)
+                          : Array[Array[Double]] = {
+    val nChunks   = math.max(1, math.min(32, srcIdx.length))
+    val chunkAccs = new Array[Array[Array[Double]]](nChunks)
+    java.util.stream.IntStream.range(0, nChunks).parallel().forEach { c =>
+      val acc  = Array.fill(nAcc)(new Array[Double](n))
+      val dist = new Array[Int](n)
+      var i = c
+      while (i < srcIdx.length) {
+        bfs(csr, srcIdx(i), 100, dist)   // distSigma's default maxDepth
+        body(srcIdx(i), acc, dist)
+        i += nChunks
+      }
+      chunkAccs(c) = acc
+    }
+    val out = Array.fill(nAcc)(new Array[Double](n))
+    chunkAccs.foreach { acc =>
+      var a = 0
+      while (a < nAcc) {
+        var v = 0
+        while (v < n) { out(a)(v) += acc(a)(v); v += 1 }
+        a += 1
+      }
+    }
+    out
+  }
+
+  /** Exact Brandes over the CSR, parallel over deterministic source chunks.
+    * delta(v) = sum over out-neighbors w at dist(v)+1 of
+    * sigma_v/sigma_w * (1 + delta(w)) — the same accumulation the
+    * distributed backward sweep performs level by level. */
+  private def localBrandes(spark: org.apache.spark.sql.SparkSession, csr: Csr,
+                           srcIdx: Array[Int], ids: Array[Long],
+                           divisor: Double): DataFrame = {
+    val n = ids.length
+    val nChunks   = math.max(1, math.min(32, srcIdx.length))
+    val chunkAccs = new Array[Array[Double]](nChunks)
+    java.util.stream.IntStream.range(0, nChunks).parallel().forEach { c =>
+      val acc   = new Array[Double](n)
+      val dist  = new Array[Int](n)
+      val sigma = new Array[Double](n)
+      val delta = new Array[Double](n)
+      var i = c
+      while (i < srcIdx.length) {
+        val s = srcIdx(i)
+        val order = bfs(csr, s, 100, dist)  // distSigma's default maxDepth
+        java.util.Arrays.fill(sigma, 0.0)
+        sigma(s) = 1.0
+        var oi = 0
+        while (oi < order.length) {          // forward: sigma in BFS order
+          val v = order(oi)
+          var p = csr.off(v)
+          while (p < csr.off(v + 1)) {
+            val w = csr.nbr(p)
+            if (dist(w) == dist(v) + 1) sigma(w) += sigma(v)
+            p += 1
+          }
+          oi += 1
+        }
+        oi = order.length - 1
+        while (oi >= 0) {                    // backward: dependencies
+          val v = order(oi)
+          var d = 0.0
+          var p = csr.off(v)
+          while (p < csr.off(v + 1)) {
+            val w = csr.nbr(p)
+            if (dist(w) == dist(v) + 1) d += sigma(v) / sigma(w) * (1.0 + delta(w))
+            p += 1
+          }
+          delta(v) = d
+          if (v != s) acc(v) += d
+          oi -= 1
+        }
+        i += nChunks
+      }
+      chunkAccs(c) = acc
+    }
+    val cent = new Array[Double](n)
+    chunkAccs.foreach { acc =>
+      var v = 0
+      while (v < n) { cent(v) += acc(v); v += 1 }
+    }
+    val rows = ids.indices.map(v => (ids(v), cent(v) / divisor))
+    spark.createDataFrame(rows).toDF("id", "centrality")
   }
 }

@@ -74,6 +74,30 @@ class CentralitySpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getLong(0)).toSet == Set(0L) && rows.length == 4)
   }
 
+  test("centrality local tail matches the distributed path exactly") {
+    // seeded random digraph: 40 nodes, 120 edges (parallel edges included)
+    val rnd   = new scala.util.Random(11L)
+    val edges = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val g = graphOf(40, edges)
+    def approxEq(a: Map[Long, Double], b: Map[Long, Double]): Boolean =
+      a.keySet == b.keySet && a.forall { case (k, v) => math.abs(v - b(k)) < 1e-9 }
+    val bL = collectD(MsBfs.betweenness(g, orientation = Orientation.Undirected))
+    val bD = collectD(MsBfs.betweenness(g, orientation = Orientation.Undirected,
+      localTailThreshold = -1L))
+    assert(approxEq(bL, bD), "betweenness local != distributed")
+    val cL = collectD(MsBfs.closeness(g))
+    val cD = collectD(MsBfs.closeness(g, localTailThreshold = -1L))
+    assert(approxEq(cL, cD), "closeness local != distributed")
+    val hL = collectD(MsBfs.harmonic(g))
+    val hD = collectD(MsBfs.harmonic(g, localTailThreshold = -1L))
+    assert(approxEq(hL, hD), "harmonic local != distributed")
+    val aL = MsBfs.allShortestPaths(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val aD = MsBfs.allShortestPaths(g, localTailThreshold = -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(aL == aD, "allShortestPaths local != distributed")
+  }
+
   test("scc: two cycles joined by a one-way bridge") {
     // cycle A: 0->1->2->0; bridge 2->3; cycle B: 3->4->3; tail 5 (4->5)
     val g = graphOf(6, Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L),
