@@ -33,6 +33,36 @@ class CommunityExtrasSpec extends AnyFunSuite with SparkTestBase {
     assert(m == m2)
   }
 
+  test("sllpa/maxkcut/k1coloring local tails match the distributed paths exactly") {
+    val rnd   = new scala.util.Random(23L)
+    val edges = Seq.fill(150)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val g = graphOf(50, edges)
+
+    def sllpaMap(t: Long): Map[Long, Seq[Long]] =
+      Sllpa.run(g, maxIterations = 8, localTailThreshold = t)
+        .communities.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sllpaMap(Long.MaxValue) == sllpaMap(-1L), "sllpa local != distributed")
+
+    val mkL = MaxKCut.run(g, k = 3, localTailThreshold = Long.MaxValue)
+    val mkD = MaxKCut.run(g, k = 3, localTailThreshold = -1L)
+    val aL = mkL.assignments.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aD = mkD.assignments.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aL == aD, "maxkcut local != distributed")
+    assert(math.abs(mkL.cutWeight - mkD.cutWeight) < 1e-9 &&
+      mkL.ranIterations == mkD.ranIterations)
+
+    import graft.algo.{K1Coloring, K1ColoringConfig}
+    def colorsOf(t: Long): Map[Long, Long] =
+      K1Coloring.run(g, K1ColoringConfig(localTailThreshold = t))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cL = colorsOf(Long.MaxValue)
+    assert(cL == colorsOf(-1L), "k1coloring local != distributed")
+    // validity: no monochromatic edge
+    assert(edges.filter { case (a, b) => a != b }
+      .forall { case (a, b) => cL(a) != cL(b) })
+  }
+
   test("influence maximization: the broadcast hub is the first seed") {
     // star: 0 -> 1..9, plus an isolated chain 10->11
     val star = (1L to 9L).map(i => (0L, i)) :+ (10L, 11L)
