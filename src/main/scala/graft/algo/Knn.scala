@@ -42,7 +42,13 @@ object Knn {
     deltaThreshold: Double = 0.001,
     similarityCutoff: Double = 0.0,
     randomJoins: Int = 4,
-    seed: Long = 42L)
+    seed: Long = 42L,
+    /** Corpora at or below this many vectors run the same NN-descent
+      * driver-locally (identical hash-seeded decisions — parity asserted in
+      * KnnSpec); -1 forces the distributed path. NN-descent round cost is
+      * O(n*(2k)^2*dim), so 25k vectors is comfortably sub-second local
+      * while the 14s distributed round latency disappears. */
+    localTailThreshold: Long = 25000L)
 
   final case class KnnResult(neighbors: DataFrame, ranIterations: Int, didConverge: Boolean)
 
@@ -74,6 +80,8 @@ object Knn {
     val spark = vectors.sparkSession
     val sessionParts = spark.sessionState.conf.numShufflePartitions
     val n0 = vectors.select(col(idCol)).count()
+    if (cfg.localTailThreshold >= 0L && n0 <= cfg.localTailThreshold)
+      return runLocal(vectors, cfg, idCol, vecCol)
     // shuffle width sized by WORK, not rows: candidate scoring is
     // O(n·(2k)²·dim), so ~100 vectors per partition keeps every core busy
     // on mid-size corpora while tiny unit-test corpora still skip the
@@ -83,6 +91,220 @@ object Knn {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try runWithParts(vectors, cfg, idCol, vecCol, parts)
     finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Driver-local NN-descent replicating the distributed path's decisions
+    * EXACTLY: same dense-index permutation, same XXH64 chains for the
+    * pseudo-random init / reverse-cap ordering / random joins, same
+    * ascending-order dot products on the same L2-normalized doubles (5-dp
+    * rounded), same (sim desc, neighbor asc) top-k and incremental is_new
+    * convergence rule — so local == distributed bit-for-bit (KnnSpec). */
+  private def runLocal(vectors: DataFrame, cfg: KnnConfig,
+                       idCol: String, vecCol: String): KnnResult = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import scala.collection.mutable
+    val spark = vectors.sparkSession
+    def pm(h: Long, m: Long): Long = (h % m + m) % m
+    def round5(x: Double): Double = math.floor(x * 100000.0 + 0.5 + 1e-6) / 100000.0
+
+    val rows = vectors.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v")).collect()
+    val n = rows.length
+    val k = math.min(cfg.k, math.max(0, n - 1))
+    if (k == 0) {
+      val empty = spark.emptyDataFrame
+        .withColumn("id", lit(0L)).withColumn("neighbor_id", lit(0L))
+        .withColumn("similarity", lit(0.0)).withColumn("rank", lit(0))
+        .limit(0)
+      return KnnResult(empty, 0, didConverge = true)
+    }
+    val ids  = rows.map(_.getLong(0))
+    val vecs = rows.map { r =>
+      val raw  = r.getSeq[Double](1).toArray
+      var s    = 0.0
+      raw.foreach(x => s += x * x)
+      val norm = math.sqrt(s)
+      if (norm == 0.0) raw else raw.map(_ / norm)
+    }
+    // dense index permutation (mirrors denseIndex): hash-bucket by id,
+    // rank by id within bucket, bucket-ascending prefix offsets
+    val buckets = ids.indices.groupBy(i => pm(XXH64.hashLong(ids(i), 42L), 64L))
+    val idxOf   = new Array[Long](n)
+    val rowOfIdx = new Array[Int](n)
+    var off = 0L
+    buckets.toSeq.sortBy(_._1).foreach { case (_, members) =>
+      members.sortBy(ids(_)).foreach { i =>
+        idxOf(i) = off; rowOfIdx(off.toInt) = i; off += 1L
+      }
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def simOf(a: Int, b: Int): Double = round5(dot(vecs(a), vecs(b)))
+    def skewPartner(myIdx: Long, h: Long): Int = {
+      val cand = pm(h, n - 1L)
+      rowOfIdx((if (cand >= myIdx) cand + 1L else cand).toInt)
+    }
+
+    // per-node state: parallel arrays sorted by (sim desc, neighbor id asc)
+    final class NodeList {
+      var nb: Array[Int] = Array.empty
+      var sim: Array[Double] = Array.empty
+      var isNew: Array[Boolean] = Array.empty
+    }
+    val state = Array.fill(n)(new NodeList)
+
+    // candidate pool per node for this round, deduped by neighbor row
+    def rebuild(i: Int, cands: mutable.LongMap[Double], prevSet: mutable.BitSet): Unit = {
+      // incumbents participate too (union with state in the distributed plan)
+      val li = state(i)
+      var j = 0
+      while (j < li.nb.length) { cands.getOrElseUpdate(li.nb(j).toLong, li.sim(j)); j += 1 }
+      val entries = cands.toArray
+      // (sim desc, neighbor ID asc) — neighbor id order, not row order
+      val sorted = entries.sortBy { case (r, s) => (-s, ids(r.toInt)) }.take(k)
+      val nl = new NodeList
+      nl.nb    = sorted.map(_._1.toInt)
+      nl.sim   = sorted.map(_._2)
+      nl.isNew = sorted.map(e => !prevSet.contains(e._1.toInt))
+      state(i) = nl
+    }
+
+    // init: k hash-derived partners per node (distinct), then top-k
+    var iter = 0
+    locally {
+      val perNode = Array.fill(n)(new mutable.LongMap[Double])
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashInt(j,
+            XXH64.hashLong(cfg.seed, XXH64.hashLong(idxOf(i), 42L)))
+          val p = skewPartner(idxOf(i), h)
+          if (!perNode(i).contains(p.toLong)) perNode(i)(p.toLong) = simOf(i, p)
+          j += 1
+        }
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        rebuild(i, perNode(i), new mutable.BitSet)  // everything is_new
+        i += 1
+      }
+    }
+
+    val stopAt = math.max(1L, (cfg.deltaThreshold * n * k).toLong)
+    var converged = false
+    while (!converged && iter < cfg.maxIterations) {
+      iter += 1
+      // adjacency: forward lists + reverse lists capped at k by hash order
+      val adjNb  = Array.fill(n)(new mutable.LongMap[Boolean])  // member -> isNew
+      val revBuf = Array.fill(n)(null: mutable.ArrayBuffer[(Long, Int, Boolean)])
+      var i = 0
+      while (i < n) {
+        val li = state(i)
+        var j = 0
+        while (j < li.nb.length) {
+          val m = li.nb(j)
+          val prev = adjNb(i).getOrElse(m.toLong, false)
+          adjNb(i)(m.toLong) = prev || li.isNew(j)
+          // reverse entry: owner = m, member = i, hash-ordered cap
+          if (revBuf(m) == null) revBuf(m) = mutable.ArrayBuffer.empty
+          val h = XXH64.hashLong(iter.toLong, XXH64.hashLong(ids(i), 42L))
+          revBuf(m) += ((h, i, li.isNew(j)))
+          j += 1
+        }
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        if (revBuf(i) != null) {
+          revBuf(i).sortBy(_._1).take(k).foreach { case (_, m, nw) =>
+            val prev = adjNb(i).getOrElse(m.toLong, false)
+            adjNb(i)(m.toLong) = prev || nw
+          }
+        }
+        i += 1
+      }
+      // local join: pairs of members sharing an owner, nbId < nb2Id, at
+      // least one side new; plus hash-derived random joins; then distinct
+      val candSet = new mutable.HashSet[Long]   // encoded (a<<20|b) won't fit; use (a.toLong<<32)|b
+      def encode(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+      i = 0
+      while (i < n) {
+        val members = adjNb(i).toArray
+        var a = 0
+        while (a < members.length) {
+          var b = a + 1
+          while (b < members.length) {
+            val (ra, na) = members(a); val (rb, nb2) = members(b)
+            if (na || nb2) {
+              // direction by node ID: (smaller id, larger id)
+              val (lo, hi) =
+                if (ids(ra.toInt) < ids(rb.toInt)) (ra.toInt, rb.toInt)
+                else (rb.toInt, ra.toInt)
+              candSet += encode(lo, hi)
+            }
+            b += 1
+          }
+          a += 1
+        }
+        i += 1
+      }
+      if (cfg.randomJoins > 0) {
+        i = 0
+        while (i < n) {
+          var j = 0
+          while (j < cfg.randomJoins) {
+            val h = XXH64.hashInt(j, XXH64.hashLong(iter.toLong,
+              XXH64.hashLong(cfg.seed, XXH64.hashLong(idxOf(i), 42L))))
+            candSet += encode(i, skewPartner(idxOf(i), h))
+            j += 1
+          }
+          i += 1
+        }
+      }
+      // score candidates (both orientations enter the per-node pools)
+      val pools    = Array.fill(n)(new mutable.LongMap[Double])
+      val prevSets = Array.tabulate(n) { v =>
+        val bs = new mutable.BitSet
+        state(v).nb.foreach(bs += _)
+        bs
+      }
+      candSet.foreach { enc =>
+        val a = (enc >>> 32).toInt
+        val b = (enc & 0xffffffffL).toInt
+        val s = simOf(a, b)
+        pools(a).getOrElseUpdate(b.toLong, s)
+        pools(b).getOrElseUpdate(a.toLong, s)
+      }
+      var updates = 0L
+      i = 0
+      while (i < n) {
+        rebuild(i, pools(i), prevSets(i))
+        var j = 0
+        while (j < state(i).isNew.length) { if (state(i).isNew(j)) updates += 1L; j += 1 }
+        i += 1
+      }
+      converged = updates <= stopAt
+    }
+
+    val out = mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    var v = 0
+    while (v < n) {
+      val lv = state(v)
+      var j = 0
+      while (j < lv.nb.length) {
+        if (lv.sim(j) >= cfg.similarityCutoff)
+          out += ((ids(v), ids(lv.nb(j)), lv.sim(j), j + 1))
+        j += 1
+      }
+      v += 1
+    }
+    KnnResult(spark.createDataFrame(out.toSeq)
+      .toDF("id", "neighbor_id", "similarity", "rank"), iter, converged)
   }
 
   private def runWithParts(vectors: DataFrame, cfg: KnnConfig,

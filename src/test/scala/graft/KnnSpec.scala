@@ -61,6 +61,22 @@ class KnnSpec extends AnyFunSuite with SparkTestBase {
     assert(counts.forall(_ == 3))
   }
 
+  test("local tail matches the distributed path bit-for-bit") {
+    // random-ish vectors (NN-descent's hard regime) so every hash decision
+    // matters: init partners, reverse caps, random joins, is_new churn
+    import spark.implicits._
+    val vs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 37 + d * 11) % 17 - 8).toFloat))
+    }.toDF("vec_id", "embedding")
+    def rowsOf(t: Long): Set[(Long, Long, Double, Int)] = {
+      val r = Knn.run(vs, Knn.KnnConfig(k = 4, maxIterations = 5,
+        randomJoins = 3, localTailThreshold = t))
+      r.neighbors.collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3))).toSet
+    }
+    assert(rowsOf(Long.MaxValue) == rowsOf(-1L))
+  }
+
   test("denseIndex is a 0..n-1 permutation over arbitrary ids") {
     import spark.implicits._
     val ids = Seq(100L, 7L, 55L, 3L, 999L, 42L).toDF("id")
