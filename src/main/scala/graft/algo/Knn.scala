@@ -196,9 +196,11 @@ object Knn {
     }
 
     val stopAt = math.max(1L, (cfg.deltaThreshold * n * k).toLong)
+    val dbg = sys.env.contains("GRAFT_DEBUG_KNN")
     var converged = false
     while (!converged && iter < cfg.maxIterations) {
       iter += 1
+      val tR = System.nanoTime()
       // adjacency: forward lists + reverse lists capped at k by hash order
       val adjNb  = Array.fill(n)(new mutable.LongMap[Boolean])  // member -> isNew
       val revBuf = Array.fill(n)(null: mutable.ArrayBuffer[(Long, Int, Boolean)])
@@ -229,23 +231,28 @@ object Knn {
         i += 1
       }
       // local join: pairs of members sharing an owner, nbId < nb2Id, at
-      // least one side new; plus hash-derived random joins; then distinct
-      val candSet = new mutable.HashSet[Long]   // encoded (a<<20|b) won't fit; use (a.toLong<<32)|b
+      // least one side new; plus hash-derived random joins. Distinct via
+      // primitive sort+dedup (a boxed HashSet here measured 25s/1M inserts
+      // under GC pressure; the primitive path is ~100x faster).
       def encode(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+      val candBuf = new mutable.ArrayBuilder.ofLong
       i = 0
       while (i < n) {
-        val members = adjNb(i).toArray
+        // flatten the member map once into parallel primitive arrays
+        val sz   = adjNb(i).size
+        val mRow = new Array[Int](sz)
+        val mNew = new Array[Boolean](sz)
+        var w = 0
+        adjNb(i).foreachEntry { (r, nw) => mRow(w) = r.toInt; mNew(w) = nw; w += 1 }
         var a = 0
-        while (a < members.length) {
+        while (a < sz) {
           var b = a + 1
-          while (b < members.length) {
-            val (ra, na) = members(a); val (rb, nb2) = members(b)
-            if (na || nb2) {
+          while (b < sz) {
+            if (mNew(a) || mNew(b)) {
+              val ra = mRow(a); val rb = mRow(b)
               // direction by node ID: (smaller id, larger id)
-              val (lo, hi) =
-                if (ids(ra.toInt) < ids(rb.toInt)) (ra.toInt, rb.toInt)
-                else (rb.toInt, ra.toInt)
-              candSet += encode(lo, hi)
+              if (ids(ra) < ids(rb)) candBuf += encode(ra, rb)
+              else candBuf += encode(rb, ra)
             }
             b += 1
           }
@@ -260,12 +267,23 @@ object Knn {
           while (j < cfg.randomJoins) {
             val h = XXH64.hashInt(j, XXH64.hashLong(iter.toLong,
               XXH64.hashLong(cfg.seed, XXH64.hashLong(idxOf(i), 42L))))
-            candSet += encode(i, skewPartner(idxOf(i), h))
+            candBuf += encode(i, skewPartner(idxOf(i), h))
             j += 1
           }
           i += 1
         }
       }
+      val candAll = candBuf.result()
+      java.util.Arrays.sort(candAll)
+      var nCand = 0
+      i = 0
+      while (i < candAll.length) {
+        if (nCand == 0 || candAll(i) != candAll(nCand - 1)) {
+          candAll(nCand) = candAll(i); nCand += 1
+        }
+        i += 1
+      }
+      val tCand = System.nanoTime()
       // score candidates (both orientations enter the per-node pools)
       val pools    = Array.fill(n)(new mutable.LongMap[Double])
       val prevSets = Array.tabulate(n) { v =>
@@ -273,13 +291,17 @@ object Knn {
         state(v).nb.foreach(bs += _)
         bs
       }
-      candSet.foreach { enc =>
+      i = 0
+      while (i < nCand) {
+        val enc = candAll(i)
         val a = (enc >>> 32).toInt
         val b = (enc & 0xffffffffL).toInt
         val s = simOf(a, b)
         pools(a).getOrElseUpdate(b.toLong, s)
         pools(b).getOrElseUpdate(a.toLong, s)
+        i += 1
       }
+      val tScore = System.nanoTime()
       var updates = 0L
       i = 0
       while (i < n) {
@@ -289,6 +311,9 @@ object Knn {
         i += 1
       }
       converged = updates <= stopAt
+      if (dbg) println(f"KNN-LOCAL iter=$iter cands=$nCand updates=$updates " +
+        f"candsSecs=${(tCand - tR) / 1e9}%.2f scoreSecs=${(tScore - tCand) / 1e9}%.2f " +
+        f"rebuildSecs=${(System.nanoTime() - tScore) / 1e9}%.2f")
     }
 
     val out = mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]

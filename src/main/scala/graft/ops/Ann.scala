@@ -26,7 +26,17 @@ object Ann {
     * Ranking uses the 5-dp-rounded similarity with id tie-break, so results
     * are deterministic and portable across float summation orders. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     localTailThreshold: Long = 100000000L): DataFrame = {
+    if (localTailThreshold >= 0L) {
+      val nQ = queries.count(); val nC = corpus.count()
+      // |Q|*|C| pair bound: one 64-dim pair scores in ~50ns locally, so 1e8
+      // pairs is a few parallel seconds — far below one distributed shuffle
+      // of the same pair table. Beyond the bound, the broadcast scan is the
+      // only shape that survives corpus scale.
+      if (nQ * nC <= localTailThreshold && nC <= 1000000L)
+        return bruteForceTopKLocal(queries, corpus, k, idCol, vecCol)
+    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -36,6 +46,52 @@ object Ann {
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Driver-local exact top-k: same arithmetic as the distributed path
+    * (VecCosine's single ascending pass, 5-dp rounding, (cosine desc, id
+    * asc) ranking), parallel over query chunks. Local == distributed
+    * exactly — asserted in OpsSpec. */
+  private def bruteForceTopKLocal(queries: DataFrame, corpus: DataFrame, k: Int,
+                                  idCol: String, vecCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    def collectVecs(df: DataFrame): (Array[Long], Array[Array[Double]]) = {
+      val rows = df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v")).collect()
+      (rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
+    }
+    val (qIds, qVecs) = collectVecs(queries)
+    val (cIds, cVecs) = collectVecs(corpus)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      if (a.length != b.length) return 0.0
+      var dot = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = b(i)
+        dot += x * y; aa += x * x; bb += y * y; i += 1
+      }
+      val denom = math.sqrt(aa) * math.sqrt(bb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    def round5(x: Double): Double = math.floor(x * 100000.0 + 0.5 + 1e-6) / 100000.0
+    val perQuery = new Array[Array[(Long, Long, Double, Int)]](qIds.length)
+    java.util.stream.IntStream.range(0, qIds.length).parallel().forEach { qi =>
+      val sims = new Array[(Double, Long)](cIds.length)
+      var m = 0
+      var ci = 0
+      while (ci < cIds.length) {
+        if (cIds(ci) != qIds(qi)) {
+          sims(m) = (round5(cos(qVecs(qi), cVecs(ci))), cIds(ci)); m += 1
+        }
+        ci += 1
+      }
+      val top = java.util.Arrays.copyOf(sims, m)
+        .sortBy { case (s, id) => (-s, id) }.take(k)
+      perQuery(qi) = top.zipWithIndex.map { case ((s, id), r) =>
+        (qIds(qi), id, s, r + 1)
+      }
+    }
+    spark.createDataFrame(perQuery.flatten.toSeq)
+      .toDF("query_id", "neighbor_id", "cosine", "rank")
   }
 
   /** Random-hyperplane signature: bit p = sign of Σ_d vec[d] * r(p, d) where

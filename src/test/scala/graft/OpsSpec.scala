@@ -78,6 +78,17 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(top.toSeq == Seq((1L, 1), (2L, 2)))
   }
 
+  test("brute-force local tail matches the distributed path exactly") {
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(6)(d => ((i * 13 + d * 5) % 11 - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    def rowsOf(t: Long): Set[(Long, Long, Double, Int)] =
+      Ann.bruteForceTopK(vecs, vecs, k = 3, localTailThreshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rowsOf(100000000L) == rowsOf(-1L))
+  }
+
   test("LSH top-k finds the exact nearest neighbor for clustered vectors") {
     import spark.implicits._
     val vecs = (0 until 50).map { i =>
