@@ -31,9 +31,12 @@ object ShortestPaths {
   def dijkstraSingleSource(graph: PropertyGraph, source: Long,
                            orientation: Orientation = Orientation.Natural,
                            maxRounds: Int = 200,
-                           trackPaths: Boolean = true): DataFrame = {
+                           trackPaths: Boolean = true,
+                           localTailThreshold: Long = 500000L): DataFrame = {
     val spark = graph.edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    if (localTailThreshold >= 0L && graph.edges.count() <= localTailThreshold)
+      return dijkstraLocal(graph, source, orientation, maxRounds, trackPaths)
     val edges = GraphOps.withWeight(graph.orientedEdges(orientation))
       .select("src", "dst", "weight")
       .repartition(parts, col("src")).persist()
@@ -126,6 +129,121 @@ object ShortestPaths {
     out
   }
 
+  /** Shared driver-local machinery: collect the weighted oriented edge
+    * table + vertex set into arrays. Returns (ids, edge arrays, idx map). */
+  private def collectWeighted(graph: PropertyGraph, orientation: Orientation)
+      : (Array[Long], Array[(Int, Int, Double)], scala.collection.mutable.HashMap[Long, Int]) = {
+    import scala.collection.mutable
+    val ids = graph.vertices.select("id").collect().map(_.getLong(0))
+    val idx = mutable.HashMap.empty[Long, Int]
+    var i = 0
+    while (i < ids.length) { idx(ids(i)) = i; i += 1 }
+    val es = GraphOps.withWeight(graph.orientedEdges(orientation))
+      .select("src", "dst", "weight").collect()
+      .flatMap { r =>
+        (idx.get(r.getLong(0)), idx.get(r.getLong(1))) match {
+          case (Some(a), Some(b)) => Some((a, b, r.getDouble(2)))
+          case _                  => None
+        }
+      }
+    (ids, es, idx)
+  }
+
+  /** Synchronous frontier relaxation on arrays — the EXACT rounds the
+    * distributed loop runs (candidate = min over active in-neighbors of
+    * dist+w with left-to-right FP accumulation; active = strictly
+    * improved), plus an optional A*-style bound prune using `h`. Returns
+    * final dists. */
+  private def relaxLocal(n: Int, es: Array[(Int, Int, Double)], srcIdx: Int,
+                         maxRounds: Int, h: Array[Double], targetIdx: Int): Array[Double] = {
+    val inf  = Double.PositiveInfinity
+    val dist = Array.fill(n)(inf)
+    dist(srcIdx) = 0.0
+    val active = new Array[Boolean](n)
+    active(srcIdx) = true
+    var any    = true
+    var rounds = 0
+    while (any && rounds < maxRounds) {
+      rounds += 1
+      val bound = if (targetIdx >= 0) dist(targetIdx) else inf
+      val cand  = Array.fill(n)(inf)
+      es.foreach { case (u, v, w) =>
+        if (active(u) && dist(u) != inf) {
+          val c = dist(u) + w
+          if (c < cand(v)) cand(v) = c
+        }
+      }
+      any = false
+      var v = 0
+      while (v < n) {
+        val improved = cand(v) < dist(v)
+        val nd       = math.min(dist(v), cand(v))
+        // A* prune: a node whose optimistic total exceeds the target's
+        // current bound stops relaxing (identical to the distributed step)
+        active(v) = improved && (h == null || nd + h(v) <= bound)
+        if (active(v)) any = true
+        dist(v) = nd
+        v += 1
+      }
+    }
+    dist
+  }
+
+  /** Canonical predecessors over final dists: min in-neighbor achieving
+    * du + w == dv exactly (parallel edges included, like the distributed
+    * preds join). -1 = none/source. */
+  private def predsLocal(n: Int, es: Array[(Int, Int, Double)], ids: Array[Long],
+                         dist: Array[Double], srcIdx: Int): Array[Int] = {
+    val inf  = Double.PositiveInfinity
+    val pred = Array.fill(n)(-1)
+    es.foreach { case (u, v, w) =>
+      if (dist(u) != inf && dist(v) != inf && dist(u) + w == dist(v) &&
+          (pred(v) < 0 || ids(u) < ids(pred(v)))) pred(v) = u
+    }
+    pred(srcIdx) = -1
+    pred
+  }
+
+  /** Walk a canonical pred chain from `v` back to the source, capped at
+    * maxRounds hops (same truncation the distributed batched walk has). */
+  private def pathLocal(v: Int, srcIdx: Int, pred: Array[Int], ids: Array[Long],
+                        maxRounds: Int): Seq[Long] = {
+    val buf = scala.collection.mutable.ArrayBuffer[Long](ids(v))
+    var cur  = v
+    var hops = 0
+    while (cur != srcIdx && pred(cur) >= 0 && hops < maxRounds) {
+      hops += 1
+      cur = pred(cur)
+      buf.prepend(ids(cur))
+    }
+    buf.toSeq
+  }
+
+  /** Driver-local tail for [[dijkstraSingleSource]] — identical rounds,
+    * canonical preds, and walk on arrays (parity in ShortestPathsSpec). */
+  private def dijkstraLocal(graph: PropertyGraph, source: Long,
+                            orientation: Orientation, maxRounds: Int,
+                            trackPaths: Boolean): DataFrame = {
+    val spark = graph.edges.sparkSession
+    val (ids, es, idx) = collectWeighted(graph, orientation)
+    val srcIdx = idx.getOrElse(source, -1)
+    val rows: Seq[(Long, Double, Option[Long], Seq[Long])] =
+      if (srcIdx < 0) Seq.empty
+      else {
+        val dist = relaxLocal(ids.length, es, srcIdx, maxRounds, null, -1)
+        val pred = predsLocal(ids.length, es, ids, dist, srcIdx)
+        ids.indices.collect {
+          case v if dist(v) != Double.PositiveInfinity =>
+            (ids(v), dist(v),
+              if (v == srcIdx || pred(v) < 0) None else Some(ids(pred(v))),
+              if (trackPaths) pathLocal(v, srcIdx, pred, ids, maxRounds)
+              else Seq.empty[Long])
+        }
+      }
+    val df = spark.createDataFrame(rows).toDF("id", "dist", "pred", "path")
+    if (trackPaths) df else df.select("id", "dist", "pred")
+  }
+
   /** Source-target Dijkstra: one row (source, target, totalCost, nodeIds)
     * or empty when unreachable — `gds.shortestPath.dijkstra.stream` shape. */
   def dijkstra(graph: PropertyGraph, source: Long, target: Long,
@@ -166,13 +284,18 @@ object ShortestPaths {
             latCol: String = "latitude", lonCol: String = "longitude",
             radius: Double = 6371.0,
             orientation: Orientation = Orientation.Natural,
-            maxRounds: Int = 200): DataFrame = {
+            maxRounds: Int = 200,
+            localTailThreshold: Long = 500000L): DataFrame = {
     val spark = graph.edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val tRow = graph.vertices.filter(col("id") === target)
       .select(col(latCol).cast("double"), col(lonCol).cast("double")).collect()
     require(tRow.nonEmpty, s"target $target not in vertices")
     val (tLat, tLon) = (tRow(0).getDouble(0), tRow(0).getDouble(1))
+
+    if (localTailThreshold >= 0L && graph.edges.count() <= localTailThreshold)
+      return astarLocal(graph, source, target, latCol, lonCol, tLat, tLon,
+        radius, orientation, maxRounds)
 
     val edges = GraphOps.withWeight(graph.orientedEdges(orientation))
       .select("src", "dst", "weight")
@@ -240,6 +363,47 @@ object ShortestPaths {
         Seq.empty[(Long, Long, Double, Seq[Long])]
           .toDF("sourceNode", "targetNode", "totalCost", "nodeIds")
     }
+  }
+
+  /** Driver-local tail for [[astar]]: the same bound-pruned synchronous
+    * relaxation (haversine heuristic computed with the identical formula),
+    * canonical preds among the settled set, target chain walk. */
+  private def astarLocal(graph: PropertyGraph, source: Long, target: Long,
+                         latCol: String, lonCol: String, tLat: Double, tLon: Double,
+                         radius: Double, orientation: Orientation,
+                         maxRounds: Int): DataFrame = {
+    val spark = graph.edges.sparkSession
+    import spark.implicits._
+    val (ids, es, idx) = collectWeighted(graph, orientation)
+    // haversine per node, exactly the Spark column formula's operation order
+    val latLon = graph.vertices
+      .select(col("id"), col(latCol).cast("double"), col(lonCol).cast("double"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val h = ids.map { id =>
+      val (la, lo) = latLon(id)
+      val dLat = Math.toRadians(la - tLat) / 2.0
+      val dLon = Math.toRadians(lo - tLon) / 2.0
+      val a = Math.pow(Math.sin(dLat), 2.0) +
+        Math.cos(Math.toRadians(la)) * Math.cos(Math.toRadians(tLat)) *
+          Math.pow(Math.sin(dLon), 2.0)
+      2.0 * radius * Math.asin(Math.sqrt(a))
+    }
+    val srcIdx = idx.getOrElse(source, -1)
+    val tgtIdx = idx.getOrElse(target, -1)
+    val rows: Seq[(Long, Long, Double, Seq[Long])] =
+      if (srcIdx < 0 || tgtIdx < 0) Seq.empty
+      else {
+        val dist = relaxLocal(ids.length, es, srcIdx, maxRounds, h, tgtIdx)
+        if (dist(tgtIdx) == Double.PositiveInfinity) Seq.empty
+        else {
+          val pred = predsLocal(ids.length, es, ids, dist, srcIdx)
+          val path = pathLocal(tgtIdx, srcIdx, pred, ids, maxRounds)
+          if (path.headOption.contains(source))
+            Seq((source, target, dist(tgtIdx), path))
+          else Seq.empty
+        }
+      }
+    rows.toDF("sourceNode", "targetNode", "totalCost", "nodeIds")
   }
 
   /** Yen's K shortest loopless paths between source and target

@@ -28,6 +28,17 @@ class ShortestPathsSpec extends AnyFunSuite with SparkTestBase {
     assert(r(3L) == Seq(0L, 1L, 3L), "tie must resolve via the smaller predecessor")
   }
 
+  test("dijkstra local tail matches the distributed path exactly") {
+    val rnd = new scala.util.Random(31L)
+    val es  = Seq.fill(160)((rnd.nextInt(45).toLong, rnd.nextInt(45).toLong,
+      (rnd.nextInt(9) + 1).toDouble))
+    val rg = weightedGraphOf(45, es)
+    def rowsOf(t: Long): Map[Long, (Double, Option[Any], Seq[Long])] =
+      ShortestPaths.dijkstraSingleSource(rg, 0L, localTailThreshold = t).collect()
+        .map(x => x.getLong(0) -> ((x.getDouble(1), Option(x.get(2)), x.getSeq[Long](3)))).toMap
+    assert(rowsOf(Long.MaxValue) == rowsOf(-1L))
+  }
+
   test("source-target dijkstra emits one row; unreachable emits none") {
     val row = ShortestPaths.dijkstra(g, 0L, 3L).collect()
     assert(row.length == 1)
@@ -59,6 +70,10 @@ class ShortestPathsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(a(0).getDouble(2) - d(0).getDouble(2)) < 1e-9)
     assert(a(0).getSeq[Long](3) == d(0).getSeq[Long](3))
     assert(a(0).getSeq[Long](3) == Seq(0L, 1L, 2L, 3L, 4L))
+    // local tail == distributed, including the bound prune
+    val aD = ShortestPaths.astar(geo, 0L, 4L, localTailThreshold = -1L).collect()
+    assert(aD.length == 1 && a(0).getDouble(2) == aD(0).getDouble(2) &&
+      a(0).getSeq[Long](3) == aD(0).getSeq[Long](3))
   }
 
   test("astar unreachable target emits no rows") {
