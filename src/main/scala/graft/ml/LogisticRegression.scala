@@ -25,7 +25,13 @@ object LogisticRegression {
     maxIterations: Int = 100,
     learningRate: Double = 0.5,
     l2Penalty: Double = 0.0,
-    tolerance: Double = 1e-7)
+    tolerance: Double = 1e-7,
+    /** Training sets at or below this many rows run the same full-batch GD
+      * driver-locally — each distributed iteration is one scan-agg whose
+      * job latency dwarfs the math at fixture sizes. Gradients/losses agree
+      * with the distributed scan up to FP summation order (the update
+      * formulas are identical); -1 forces distributed. */
+    localTailThreshold: Long = 100000L)
 
   final case class LrModel(weights: Array[Double], bias: Double,
                            losses: Seq[Double]) {
@@ -55,6 +61,11 @@ object LogisticRegression {
       .persist()
     val n = df.count().toDouble
     require(n > 0, "empty training set")
+    if (cfg.localTailThreshold >= 0L && n <= cfg.localTailThreshold) {
+      val rows = df.collect().map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+      df.unpersist(false)
+      return trainLocal(rows, dims, cfg)
+    }
 
     var w = new Array[Double](dims)
     var b = 0.0
@@ -89,6 +100,48 @@ object LogisticRegression {
       }
     }
     df.unpersist(false)
+    LrModel(w, b, losses.toSeq)
+  }
+
+  /** Driver-local full-batch GD — the same margin fold (bias-seeded,
+    * ascending dims), ±30 clamp, softplus loss, update and stop formulas
+    * as the distributed scan (MlSpec asserts agreement). */
+  private def trainLocal(rows: Array[(Array[Double], Double)], dims: Int,
+                         cfg: LrConfig): LrModel = {
+    val n = rows.length.toDouble
+    var w = new Array[Double](dims)
+    var b = 0.0
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var it = 0
+    var done = false
+    while (it < cfg.maxIterations && !done) {
+      val grad = new Array[Double](dims)
+      var gb   = 0.0
+      var lossSum = 0.0
+      rows.foreach { case (x, y) =>
+        var m = b
+        var i = 0
+        while (i < dims) { m += x(i) * w(i); i += 1 }
+        m = math.min(math.max(m, -30.0), 30.0)
+        val p   = 1.0 / (1.0 + math.exp(-m))
+        val err = p - y
+        i = 0
+        while (i < dims) { grad(i) += err * x(i); i += 1 }
+        gb += err
+        lossSum += math.log1p(math.exp(m)) - y * m
+      }
+      val loss = lossSum / n + 0.5 * cfg.l2Penalty * w.map(x => x * x).sum
+      losses += loss
+      val newW = Array.tabulate(dims)(i =>
+        w(i) - cfg.learningRate * (grad(i) / n + cfg.l2Penalty * w(i)))
+      b -= cfg.learningRate * gb / n
+      w = newW
+      it += 1
+      if (losses.length >= 2) {
+        val prev = losses(losses.length - 2)
+        done = math.abs(prev - loss) <= cfg.tolerance * math.max(math.abs(prev), 1e-12)
+      }
+    }
     LrModel(w, b, losses.toSeq)
   }
 }

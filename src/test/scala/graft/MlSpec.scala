@@ -29,6 +29,22 @@ class MlSpec extends AnyFunSuite with SparkTestBase {
     assert(acc == 1.0, s"accuracy $acc")
   }
 
+  test("logistic regression local tail matches the distributed scan") {
+    val df = (0 until 120).map(i =>
+      (Array(i / 120.0, (i % 11) / 11.0, (i % 3) / 3.0),
+        if ((i % 11) > 5 == (i % 2 == 0)) 1.0 else 0.0)).toDF("features", "y")
+    val dist = LogisticRegression.train(df, "features", "y", 3,
+      LogisticRegression.LrConfig(maxIterations = 30, localTailThreshold = -1L))
+    val local = LogisticRegression.train(df, "features", "y", 3,
+      LogisticRegression.LrConfig(maxIterations = 30, localTailThreshold = Long.MaxValue))
+    assert(dist.losses.size == local.losses.size)
+    dist.losses.zip(local.losses).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"loss $a vs $b") }
+    dist.weights.zip(local.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"weight $a vs $b") }
+    assert(math.abs(dist.bias - local.bias) < 1e-9)
+  }
+
   test("logistic regression is deterministic") {
     val df = (0 until 100).map(i =>
       (Array(i / 100.0, (i % 7) / 7.0), if (i % 2 == 0) 1.0 else 0.0)).toDF("features", "y")
