@@ -27,12 +27,17 @@ object ScalingBench {
   private def session(cores: Int): SparkSession = {
     val localDir = sys.env.getOrElse("GRAFT_BENCH_LOCAL_DIR", "/dev/shm/spark-local")
     // GRAFT_BENCH_CLUSTER=1 runs real multi-executor JVMs (local-cluster):
-    // cores/4 workers x 4 cores — the honest "N executors vs 4N executors"
-    // shape of the north rule; a single shared JVM otherwise (local[n]).
+    // cores/W workers x W cores (GRAFT_BENCH_WORKER_CORES, default 4) — the
+    // honest "N executors vs 4N executors" shape of the north rule; a single
+    // shared JVM otherwise (local[n]). W=1 with cores 1 vs 4 keeps both legs
+    // in this box's unthrottled memory-bandwidth regime while exercising
+    // genuinely separate executor JVMs (netty shuffle, cross-process
+    // serialization).
     val cluster = sys.env.getOrElse("GRAFT_BENCH_CLUSTER", "0") == "1"
     val workerMem = sys.env.getOrElse("GRAFT_BENCH_WORKER_MB", "12288")
+    val workerCores = sys.env.getOrElse("GRAFT_BENCH_WORKER_CORES", "4").toInt
     val master =
-      if (cluster) s"local-cluster[${math.max(1, cores / 4)},4,$workerMem]"
+      if (cluster) s"local-cluster[${math.max(1, cores / workerCores)},$workerCores,$workerMem]"
       else s"local[$cores]"
     // partitions sized by DATA, identical at both parallelism levels (the
     // cluster-honest shape: a 100 TB job would fix its partitioning by input
