@@ -80,9 +80,7 @@ object TriangleCount {
     val e1 = oriented.select(col("src").as("u"), col("dst").as("v"))
     val e2 = oriented.select(col("src").as("v"), col("dst").as("w"))
     val e3 = oriented.select(col("src").as("u"), col("dst").as("w"))
-    val triangles = e1.join(e2, "v").join(e3, Seq("u", "w")).select("u", "v", "w").persist()
-
-    val global = triangles.count()
+    val triangles = e1.join(e2, "v").join(e3, Seq("u", "w")).select("u", "v", "w")
 
     val cornerCounts = triangles.select(col("u").as("id"))
       .unionByName(triangles.select(col("v").as("id")))
@@ -92,13 +90,22 @@ object TriangleCount {
     val local0 = graph.vertices.select("id")
       .join(cornerCounts, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
-    val local = if (excluded != null)
+    val local = (if (excluded != null)
       local0.join(excluded.withColumn("__ex", lit(true)), Seq("id"), "left")
         .select(col("id"),
           when(col("__ex"), lit(-1L)).otherwise(col("triangles")).as("triangles"))
-    else local0
+    else local0).persist()
 
-    triangles.unpersist(false)
+    // ONE execution of the wedge join serves everything: the global count is
+    // Σ per-corner counts / 3 over the (persisted, materialized-right-here)
+    // local table — excluded hubs carry -1, every counted triangle has three
+    // non-excluded corners. Downstream consumers (stream/write modes, LCC's
+    // coefficient join + average) read the small cached (id, triangles)
+    // table instead of re-running the join pipeline.
+    val global = local
+      .agg(coalesce(sum(when(col("triangles") > 0L, col("triangles")).otherwise(0L)), lit(0L)))
+      .first().getLong(0) / 3
+
     oriented.unpersist(false)
     canonical.unpersist(false)
     TriangleCountResult(local, global)
