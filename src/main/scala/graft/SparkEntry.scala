@@ -484,23 +484,24 @@ object SparkEntry {
       Dedup.minHashNearDuplicatesExact(table(s, dir, "documents"), "doc_id", "text",
         threshold = 0.8).orderBy("id_a", "id_b")),
     "q_simhash_neardup" -> ((s, dir) => {
-      // validity projection (simhash uses engine-specific xxhash64): with 8
-      // bands of 8 bits, any pair within hamming 7 shares a band by
-      // pigeonhole, so every true near-duplicate (exact 3-gram Jaccard >=
-      // 0.8) whose signatures are within hamming 7 MUST be reported —
+      // validity projection (simhash uses engine-specific xxhash64): with the
+      // production shape — 4 bands of 16 bits, the corpus-scale-selective
+      // banding — any pair within hamming 3 shares a band by pigeonhole, so
+      // every true near-duplicate (exact 3-gram Jaccard >= 0.8) whose
+      // signatures are within hamming 3 MUST be reported —
       // missed_true_pairs is structurally 0 at any scale. (Jaccard >= 0.8
       // does not itself bound hamming, so the check recomputes each true
       // pair's hamming from the signatures before demanding recall.)
       val docs = table(s, dir, "documents")
       val simPairs = Dedup.simHashNearDuplicates(docs, "doc_id", "text",
-        maxHamming = 7, bands = 8)
+        maxHamming = 3, bands = 4)
       val truePairs = Dedup.minHashNearDuplicatesExact(docs, "doc_id", "text",
         threshold = 0.8)
       val sigs = Dedup.simHash(docs, "doc_id", "text")
       val missed = truePairs
         .join(sigs.select(col("id").as("id_a"), col("simhash").as("h_a")), "id_a")
         .join(sigs.select(col("id").as("id_b"), col("simhash").as("h_b")), "id_b")
-        .filter(Dedup.hammingDistance(col("h_a"), col("h_b")) <= 7)
+        .filter(Dedup.hammingDistance(col("h_a"), col("h_b")) <= 3)
         .select("id_a", "id_b")
         .join(simPairs.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
         .count()
