@@ -23,8 +23,14 @@ object Hits {
   def run(graph: PropertyGraph, cfg: HitsConfig = HitsConfig()): DataFrame = {
     val spark = graph.edges.sparkSession
     val parts = cfg.numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    // Two persisted orientations: the auth step joins on src, the hub step
+    // on dst — co-partitioned joins both ways instead of re-shuffling the
+    // edge table every half-iteration (the 100-TB shape: edge storage is
+    // cheap next to 20x2 repeated shuffles of it).
     val edges = graph.edges.select("src", "dst")
       .repartition(parts, col("src")).persist()
+    val edgesByDst = graph.edges.select("src", "dst")
+      .repartition(parts, col("dst")).persist()
 
     var state = graph.vertices.select("id")
       .repartition(parts, col("id"))
@@ -49,7 +55,7 @@ object Hits {
         .persist()
       // hub(u) = Σ auth(v) for u→v, L2-normalized in-plan
       val hubRaw = s1.select(col("id").as("dst"), col("auth"))
-        .join(edges, "dst")
+        .join(edgesByDst, "dst")
         .groupBy(col("src").as("id")).agg(sum("auth").as("h"))
       val next = s1.select("id", "auth").join(hubRaw, Seq("id"), "left")
         .select(col("id"), coalesce(col("h"), lit(0.0)).as("hub"), col("auth"))
@@ -62,6 +68,7 @@ object Hits {
       state = org.apache.spark.sql.GraftSqlCompat.truncatePlan(out)
     }
     edges.unpersist(false)
+    edgesByDst.unpersist(false)
     state.select("id", "hub", "auth")
   }
 }
