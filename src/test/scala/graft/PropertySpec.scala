@@ -97,6 +97,85 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     })
   }
 
+  /** Reference-model Brandes (directed, unweighted, all sources). */
+  private def localBrandesRef(n: Int, edges: Seq[(Long, Long)]): Map[Long, Double] = {
+    import scala.collection.mutable
+    val adj = edges.distinct.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).distinct }
+    val bc = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    for (s <- 0L until n.toLong) {
+      val pred  = mutable.Map.empty[Long, mutable.ListBuffer[Long]]
+      val sigma = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      val dist  = mutable.Map.empty[Long, Int]
+      sigma(s) = 1.0; dist(s) = 0
+      val q = mutable.Queue(s)
+      val order = mutable.ArrayBuffer.empty[Long]
+      while (q.nonEmpty) {
+        val v = q.dequeue(); order += v
+        for (w <- adj.getOrElse(v, Seq.empty)) {
+          if (!dist.contains(w)) { dist(w) = dist(v) + 1; q.enqueue(w) }
+          if (dist(w) == dist(v) + 1) {
+            sigma(w) += sigma(v)
+            pred.getOrElseUpdate(w, mutable.ListBuffer.empty) += v
+          }
+        }
+      }
+      val delta = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      for (w <- order.reverseIterator) {
+        for (v <- pred.getOrElse(w, Nil)) delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+        if (w != s) bc(w) += delta(w)
+      }
+    }
+    (0L until n.toLong).map(v => v -> bc(v)).toMap
+  }
+
+  private def centMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("betweenness (local tail): matches brute-force Brandes") {
+    assertHolds(Prop.forAll(genGraph) { case (n, edges) =>
+      val valid = edges.filter { case (a, b) => a < n && b < n }
+      val g = graphOf(n, valid)
+      val expected = localBrandesRef(n, valid)
+      val got = centMap(graft.algo.MsBfs.betweenness(g).select("id", "centrality"))
+      expected.keySet == got.keySet &&
+        expected.forall { case (id, v) => math.abs(got(id) - v) <= 1e-9 }
+    })
+  }
+
+  test("betweenness (distributed path): matches brute-force Brandes") {
+    val few = Parameters.default.withMinSuccessfulTests(8)
+      .withInitialSeed(org.scalacheck.rng.Seed(7L))
+    val r = check(few, Prop.forAll(genGraph) { case (n, edges) =>
+      val valid = edges.filter { case (a, b) => a < n && b < n }
+      val g = graphOf(n, valid)
+      val expected = localBrandesRef(n, valid)
+      val got = centMap(graft.algo.MsBfs.betweenness(g, localTailThreshold = -1L)
+        .select("id", "centrality"))
+      expected.keySet == got.keySet &&
+        expected.forall { case (id, v) => math.abs(got(id) - v) <= 1e-9 }
+    })
+    assert(r.passed, r.status.toString)
+  }
+
+  test("node similarity: engine pairs match brute-force jaccard over out-neighbor sets") {
+    assertHolds(Prop.forAll(genGraph) { case (n, edges) =>
+      val valid = edges.filter { case (a, b) => a < n && b < n }
+      val g = graphOf(n, valid)
+      val nb = valid.distinct.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      val expected = (for {
+        a <- nb.keySet; b <- nb.keySet if a != b
+        inter = (nb(a) & nb(b)).size
+        if inter > 0 // similarityCutoff 1e-42 excludes exact zeros
+      } yield (a, b, BigDecimal(inter.toDouble / (nb(a) | nb(b)).size)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSet
+      val got = graft.algo.NodeSimilarity.run(g,
+          graft.algo.NodeSimilarityConfig(topK = 0))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSet
+      expected == got
+    })
+  }
+
   test("triangle count: wedge join matches brute-force enumeration") {
     assertHolds(Prop.forAll(genGraph) { case (n, edges) =>
       val g = graphOf(n, edges)
