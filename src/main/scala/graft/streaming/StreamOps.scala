@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ops.TextOps
+
+/** Structured Streaming formulations of the pipeline operators whose batch
+  * versions live in `graft.ops`: gap sessionization as custom keyed state
+  * (`flatMapGroupsWithState` + event-time timeout) and exact streaming
+  * dedup (watermarked `dropDuplicates`). Scale shape: state is partitioned
+  * by the group key across executors, one open session (a few scalars) per
+  * user — state size is O(active users), never O(events); the watermark
+  * bounds both late data and state lifetime, so the query runs indefinitely
+  * on an unbounded stream.
+  */
+object StreamOps {
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class OpenSession(seq: Long, started: Long, ended: Long,
+                               events: Long, total: Double)
+  final case class Session(user_id: Long, session_id: Long, events: Long,
+                           started: Timestamp, ended: Timestamp,
+                           total_value: Double)
+
+  /** Gap-based sessionization over an unbounded event stream — the exact
+    * semantics of `Events.sessionize` (a new session when a user's
+    * inter-event gap exceeds `gapSeconds`; session_id numbers a user's
+    * sessions 1.. in time order), expressed as keyed state: the open
+    * session per user lives in `GroupState`, a session is emitted when a
+    * later event closes it or when the event-time watermark passes its
+    * close-out deadline (ended + gap). The watermark is applied here (after
+    * the column normalization — a select/cast would strip an upstream
+    * event-time tag); late rows beyond it are dropped by the engine before
+    * they reach the state function.
+    *
+    * Micro-batches may deliver a user's events unsorted — each batch's
+    * slice is sorted in-memory per (user, batch), which is bounded by the
+    * trigger interval, not the stream. */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800L,
+                       watermark: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"),
+        col("ts").cast("timestamp"),
+        coalesce(col("value").cast("double"), lit(0.0)).as("value"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+
+    val gapMs = gapSeconds * 1000L
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) => {
+          def finalize(s: OpenSession): Session =
+            Session(userId, s.seq, s.events,
+              new Timestamp(s.started), new Timestamp(s.ended),
+              BigDecimal(s.total).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+          if (!it.hasNext) {
+            // event-time timeout: the watermark passed ended+gap — no later
+            // event can extend this session any more.
+            val out = state.getOption.map(finalize).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.value))
+            var open = state.getOption
+            val done = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.ended <= gapMs =>
+                  open = Some(s.copy(ended = math.max(s.ended, t),
+                    events = s.events + 1, total = s.total + e.value))
+                case Some(s) =>
+                  done += finalize(s)
+                  open = Some(OpenSession(s.seq + 1, t, t, 1L, e.value))
+                case None =>
+                  open = Some(OpenSession(1L, t, t, 1L, e.value))
+              }
+            }
+            val s = open.get
+            state.update(s)
+            state.setTimeoutTimestamp(s.ended + gapMs)
+            done.result().iterator
+          }
+        })
+  }
+
+  /** Streaming exact dedup: first-seen document per normalized-text
+    * fingerprint. Watermarked `dropDuplicates` keeps per-fingerprint state
+    * only until the watermark passes it — bounded state on an unbounded
+    * stream (duplicates farther apart than the watermark horizon are kept;
+    * choose the horizon by the corpus's duplication locality). */
+  def dedupExactStream(docs: DataFrame, idCol: String, textCol: String,
+                       tsCol: String, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("fp")
+      .drop("fp")
+}
