@@ -474,6 +474,45 @@ object SparkEntry {
       Events.sessionize(table(s, dir, "events")).orderBy("user_id", "session_id")),
     "q_events_window" -> ((s, dir) =>
       Events.windowedCounts(table(s, dir, "events")).orderBy("window_start", "event_type")),
+    "q_sessionize_stream" -> ((s, dir) => {
+      // the Structured Streaming sessionizer (keyed state + event-time
+      // timeout) over the SAME events table, fed through a MemoryStream and
+      // closed out by a far-future sentinel user: once every real session's
+      // (ended + gap) deadline is behind the watermark, the emitted set must
+      // equal the batch/oracle sessionization EXACTLY. (The driver-side feed
+      // is the test-harness source shape; production reads readStream
+      // directly. The sentinel's own still-open session is filtered.)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = table(s, dir, "events")
+        .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+          col("value").cast("double"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1),
+          if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+      val maxTs = rows.map(_._2.getTime).max
+      val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val q = graft.streaming.StreamOps.sessionizeStream(
+          input.toDS().toDF("user_id", "ts", "value"),
+          gapSeconds = 1800L, watermark = "1 second")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("q_sessionize_stream_out").start()
+      try {
+        input.addData(rows.toSeq)
+        q.processAllAvailable()
+        input.addData((-1L, new java.sql.Timestamp(maxTs + 86400000L), 0.0))
+        q.processAllAvailable()
+        input.addData((-1L, new java.sql.Timestamp(maxTs + 86401000L), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q_sessionize_stream_out")
+        .filter(col("user_id") >= 0L)
+        .select(col("user_id"), col("session_id"), col("events"),
+          col("started").cast("timestamp_ntz").as("started"),
+          col("ended").cast("timestamp_ntz").as("ended"), col("total_value"))
+        .orderBy("user_id", "session_id")
+    }),
 
     // --- near-dup / ANN / multimodal (fully oracle-verified projections) ---
     "q_minhash_neardup" -> ((s, dir) =>
@@ -1209,6 +1248,18 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS events, min(ts) AS started, max(ts) AS ended,
         |  floor(sum(value) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS total_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_sessionize_stream" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS events, min(ts) AS started, max(ts) AS ended,
+        |  floor(sum(COALESCE(value, 0)) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS total_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,

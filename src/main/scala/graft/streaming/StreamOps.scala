@@ -18,8 +18,18 @@ import graft.ops.TextOps
 object StreamOps {
 
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  /** started/ended are epoch MICROSECONDS — java.sql.Timestamp.getTime is
+    * millis and would truncate parquet/Spark's microsecond timestamps. */
   final case class OpenSession(seq: Long, started: Long, ended: Long,
                                events: Long, total: Double)
+
+  private def tsMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
   final case class Session(user_id: Long, session_id: Long, events: Long,
                            started: Timestamp, ended: Timestamp,
                            total_value: Double)
@@ -49,15 +59,17 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .as[SessionEvent]
 
-    val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
 
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) => {
           def finalize(s: OpenSession): Session =
             Session(userId, s.seq, s.events,
-              new Timestamp(s.started), new Timestamp(s.ended),
-              BigDecimal(s.total).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              microsTs(s.started), microsTs(s.ended),
+              // Num.roundTo(_, 4) semantics — identical to the batch
+              // sessionizer and its DuckDB oracle (nudged half-up)
+              math.floor(s.total * 10000.0 + 0.5 + 1e-6) / 10000.0)
 
           if (!it.hasNext) {
             // event-time timeout: the watermark passed ended+gap — no later
@@ -66,13 +78,13 @@ object StreamOps {
             state.remove()
             out.iterator
           } else {
-            val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.value))
+            val sorted = it.toArray.sortBy(e => (tsMicros(e.ts), e.value))
             var open = state.getOption
             val done = Seq.newBuilder[Session]
             for (e <- sorted) {
-              val t = e.ts.getTime
+              val t = tsMicros(e.ts)
               open match {
-                case Some(s) if t - s.ended <= gapMs =>
+                case Some(s) if t - s.ended <= gapUs =>
                   open = Some(s.copy(ended = math.max(s.ended, t),
                     events = s.events + 1, total = s.total + e.value))
                 case Some(s) =>
@@ -84,7 +96,9 @@ object StreamOps {
             }
             val s = open.get
             state.update(s)
-            state.setTimeoutTimestamp(s.ended + gapMs)
+            // deadline in millis, rounded UP so it is never earlier than the
+            // true micros deadline
+            state.setTimeoutTimestamp(math.floorDiv(s.ended + gapUs + 999L, 1000L))
             done.result().iterator
           }
         })
