@@ -547,6 +547,34 @@ object SparkEntry {
       val spark = s; import spark.implicits._
       Seq(missed).toDF("missed_true_pairs")
     }),
+    "q_dedup_stream" -> ((s, dir) => {
+      // streaming exact dedup over the documents table fed in two
+      // micro-batches (cross-batch duplicate state exercised): exactly one
+      // representative per normalized-text fingerprint must survive, so the
+      // emitted fingerprint set equals the batch DISTINCT the oracle
+      // computes. (Which duplicate survives is arrival-order-dependent —
+      // the projection is the fingerprint set, which is deterministic.)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = table(s, dir, "documents").select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
+      val input = MemoryStream[(Long, String)]
+      val withTs = input.toDS().toDF("doc_id", "text")
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      val stream = graft.streaming.StreamOps
+        .dedupExactStream(withTs, "doc_id", "text", "ts", watermark = "1 hour")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("q_dedup_stream_out").start()
+      try {
+        val (a, b) = docs.splitAt(docs.length / 2)
+        input.addData(a.toSeq); stream.processAllAvailable()
+        input.addData(b.toSeq); stream.processAllAvailable()
+      } finally stream.stop()
+      s.table("q_dedup_stream_out")
+        .select(graft.ops.TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("fp")
+    }),
     "q_fastrp" -> ((s, dir) => {
       // validity projection (the RNG stream is engine-specific): dimensions,
       // finiteness, unit-norm rounds for connected nodes, determinism across
@@ -1209,6 +1237,9 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_stream" ->
+      """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY fp""".stripMargin,
     "q_jaccard_pairs" ->
       """WITH pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a
         |  JOIN documents b ON b.doc_id = a.doc_id + 1),
