@@ -729,6 +729,27 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id")
     }),
+    "q_cosine_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup over a corpus with planted duplicates:
+      // scaled copies (exactly collinear -> cosine 1.0, sharing every
+      // hyperplane bucket by construction) and 98/2 blends (cosine ~0.9998).
+      // All non-planted pairs in the synthetic corpus sit below 0.52, so the
+      // LSH-bucketed + exact-cosine pipeline must emit exactly the
+      // brute-force pair set >= 0.8 the oracle replays.
+      val base = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val scaled = base.filter(col("vec_id") < 150)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("e"), x => x * lit(1.25)).as("e"))
+      val blends = base.filter(col("vec_id") >= 150 && col("vec_id") < 300).alias("ba")
+        .join(base.alias("bb"), col("ba.vec_id") - 150 === col("bb.vec_id"))
+        .select((col("ba.vec_id") + 2000000L).as("vec_id"),
+          zip_with(col("ba.e"), col("bb.e"),
+            (x, y) => x * lit(0.98) + y * lit(0.02)).as("e"))
+      Ann.cosineNearDuplicates(base.unionByName(scaled).unionByName(blends),
+          threshold = 0.8, vecCol = "e")
+        .orderBy("id_a", "id_b")
+    }),
     "q_media_features" -> ((s, _) =>
       // scalar digests of the embedding (sum/first, 4dp) — the raw
       // array<float> is not hashable by the driver compare. Rows-only check:
@@ -1333,6 +1354,20 @@ object SparkEntry {
       """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id,
         |1.0 AS cosine, CAST(1 AS INT) AS rank
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "q_cosine_neardup" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |scaled AS (SELECT vec_id + 1000000 AS vec_id, list_transform(e, x -> x * 1.25) AS e
+         |           FROM base WHERE vec_id < 150),
+         |blends AS (SELECT a.vec_id + 2000000 AS vec_id,
+         |             list_transform(list_zip(a.e, b.e), s -> 0.98 * s[1] + 0.02 * s[2]) AS e
+         |           FROM base a JOIN base b ON a.vec_id - 150 = b.vec_id
+         |           WHERE a.vec_id >= 150 AND a.vec_id < 300),
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM scaled UNION ALL SELECT * FROM blends),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |            ${graft.core.Num.roundSql("list_cosine_similarity(a.e, b.e)", 5)} AS cosine
+         |          FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_media_valid" ->
       """SELECT CAST(200 AS BIGINT) AS rows_total, CAST(0 AS BIGINT) AS bad_dims,
         |CAST(0 AS BIGINT) AS bad_embeddings""".stripMargin,
