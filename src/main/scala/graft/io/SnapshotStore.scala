@@ -36,7 +36,19 @@ object SnapshotStore {
     val dataPath = Paths.get(dir, "data", s"v$version").toString
     df.write.mode("overwrite").parquet(dataPath)
     Files.createDirectories(snapDir(dir))
-    val snap = Snapshot(version, dataPath, meta)
+    // Per-partition file lineage (Iceberg-manifest style): every data file
+    // this snapshot owns, with its byte size, recorded alongside the
+    // caller's metrics — enough to audit partition balance per iteration
+    // and to resume/validate without listing the directory.
+    val partFiles = Files.list(Paths.get(dataPath)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .map(p => s"${p.getFileName}:${Files.size(p)}")
+      .toSeq.sorted
+    val lineage = Map(
+      "numFiles"   -> partFiles.size.toString,
+      "totalBytes" -> partFiles.map(_.split(':').last.toLong).sum.toString,
+      "files"      -> partFiles.mkString(";"))
+    val snap = Snapshot(version, dataPath, lineage ++ meta)
     val tmp  = snapDir(dir).resolve(s".v$version.json.tmp")
     Files.writeString(tmp, renderManifest(snap))
     Files.move(tmp, snapDir(dir).resolve(s"v$version.json"),

@@ -36,6 +36,11 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
     val last = SnapshotStore.latest(dir).get
     assert(last.meta.contains("activeCount") && last.meta.contains("partitions"))
     assert(last.meta("iteration").toInt == 19)
+    // ... and per-partition file lineage: every data file with its size
+    val files = last.meta("files").split(";").toSeq
+    assert(files.size == last.meta("numFiles").toInt && files.nonEmpty)
+    assert(files.forall(_.matches("part-.*:\\d+")))
+    assert(files.map(_.split(':').last.toLong).sum == last.meta("totalBytes").toLong)
   }
 
   test("checkpoint interval > 1 still resumes correctly") {
