@@ -330,6 +330,18 @@ object SparkEntry {
       MsBfs.allShortestPaths(g, sources = Some(g.vertices.filter(col("id") < 30).select("id")))
         .orderBy("sourceNodeId", "targetNodeId")
     }),
+    "q_weighted_all_pairs" -> ((s, dir) => {
+      // weighted all-pairs distance stream over a bounded source set: the
+      // weighted gds.alpha.allShortestPaths.stream semantics
+      val g = denseGraph(s, dir)
+      val weighted = g.copy(edges = g.edges
+        .withColumn("weight", (pmod(col("src") * 31 + col("dst"), lit(5)) + 1).cast("double")))
+      ShortestPaths.allShortestPathsWeighted(weighted,
+          sources = Some(g.vertices.filter(col("id") < 20).select("id")))
+        .select(col("sourceNodeId"), col("targetNodeId"),
+          graft.core.Num.roundTo(col("distance"), 6).as("distance"))
+        .orderBy("sourceNodeId", "targetNodeId")
+    }),
     "q_sssp" -> ((s, dir) => {
       val g = denseGraph(s, dir)
       val weighted = g.copy(edges = g.edges
@@ -1226,6 +1238,9 @@ object SparkEntry {
          |FROM ranked WHERE rk <= 3 ORDER BY n1, n2""".stripMargin,
     "q_bfs" -> bfsSql(DenseEdgesSql, maxDepth = 20),
     "q_all_pairs" -> allPairsSql(DenseEdgesSql, maxDepth = 20, maxSource = 30),
+    "q_weighted_all_pairs" -> weightedAllPairsSql(
+      DenseEdgesSql.replace(" FROM orders", ", CAST((o_orderkey % 300) * 31 + ((o_orderkey * 7 + o_custkey) % 300) AS BIGINT) AS wseed FROM orders"),
+      rounds = 20, maxSource = 20),
     "q_sssp" -> ssspSql(
       DenseEdgesSql.replace(" FROM orders", ", CAST((o_orderkey % 300) * 31 + ((o_orderkey * 7 + o_custkey) % 300) AS BIGINT) AS wseed FROM orders"),
       rounds = 14),
@@ -1831,6 +1846,28 @@ object SparkEntry {
        |SELECT s AS sourceNodeId, id AS targetNodeId,
        |       CAST(dist AS DOUBLE) AS distance
        |FROM p$maxDepth ORDER BY sourceNodeId, targetNodeId""".stripMargin
+  }
+
+  /** Weighted all-pairs oracle: per-source Bellman-Ford rounds (self-loop
+    * w=0 keeps reached mins monotone), weights from `wseed % 5 + 1` exactly
+    * like ssspSql. Integer-valued weights keep the FP sums exact, so the
+    * unrolled rounds equal the engine's fixpoint once rounds >= the longest
+    * optimal path's hop count. */
+  private def weightedAllPairsSql(edgesSql: String, rounds: Int, maxSource: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""p$k AS (
+         |  SELECT p.s, u.dst AS id, min(p.dist + u.w) AS dist
+         |  FROM undx u JOIN p${k - 1} p ON p.id = u.src GROUP BY p.s, u.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |$NodesSql,
+       |undx AS (SELECT src, dst, CAST(wseed % 5 + 1 AS DOUBLE) AS w FROM edges
+       |         UNION SELECT id, id, 0.0 FROM nodes),
+       |p0 AS (SELECT id AS s, id, 0.0 AS dist FROM nodes WHERE id < $maxSource),
+       |$steps
+       |SELECT s AS sourceNodeId, id AS targetNodeId,
+       |       ${graft.core.Num.roundSql("dist", 6)} AS distance
+       |FROM p$rounds ORDER BY sourceNodeId, targetNodeId""".stripMargin
   }
 
   /** SSSP oracle: like bfsSql with per-edge weights (weight derived in the

@@ -583,4 +583,72 @@ object ShortestPaths {
     }
     accepted.toSeq
   }
+
+  /** Weighted all-shortest-paths distance stream — the weighted variant of
+    * `gds.alpha.allShortestPaths.stream` (reference: alpha/alpha-algo/src/
+    * main/java/org/neo4j/gds/impl/msbfs/WeightedAllShortestPaths.java, one
+    * Dijkstra per source over a thread pool).
+    *
+    * Spark formulation: every source relaxes in the SAME superstep — state
+    * keyed (s, id), one message shuffle per round regardless of source
+    * count (the weighted analogue of MsBfs.distSigma; rounds bounded by
+    * the longest shortest path's hop count, not |V|·|sources|). `sources`
+    * defaults to all vertices — pass a subset to bound the
+    * O(|sources| x reachable) state at scale. Driver-local per-source
+    * relaxation below the local-tail threshold (same rounds, bit-identical
+    * FP accumulation). */
+  def allShortestPathsWeighted(graph: PropertyGraph,
+                               sources: Option[DataFrame] = None,
+                               orientation: Orientation = Orientation.Natural,
+                               maxRounds: Int = 200,
+                               localTailThreshold: Long = 500000L): DataFrame = {
+    val spark = graph.edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val srcDf = sources.getOrElse(graph.vertices.select("id"))
+    val inf   = Double.PositiveInfinity
+
+    if (localTailThreshold >= 0L && graph.edges.count() <= localTailThreshold) {
+      val (ids, es, idx) = collectWeighted(graph, orientation)
+      val srcIdx = srcDf.select("id").collect().map(_.getLong(0))
+        .flatMap(idx.get).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      srcIdx.foreach { s =>
+        val dist = relaxLocal(ids.length, es, s, maxRounds, null, -1)
+        var v = 0
+        while (v < ids.length) {
+          if (dist(v) != inf) out += ((ids(s), ids(v), dist(v)))
+          v += 1
+        }
+      }
+      return spark.createDataFrame(out.toSeq)
+        .toDF("sourceNodeId", "targetNodeId", "distance")
+    }
+
+    val edges = GraphOps.withWeight(graph.orientedEdges(orientation))
+      .select("src", "dst", "weight")
+      .repartition(parts, col("src")).persist()
+    val init = srcDf.select(col("id").as("s"))
+      .crossJoin(graph.vertices.select("id"))
+      .repartition(parts, col("id"))
+      .select(col("s"), col("id"),
+        when(col("id") === col("s"), lit(0.0)).otherwise(lit(inf)).as("dist"),
+        (col("id") === col("s")).as(SuperstepLoop.ActiveCol))
+
+    val relaxed = SuperstepLoop.run(init, LoopConfig(maxRounds)) { (state, _) =>
+      val candidates = state.filter(col(SuperstepLoop.ActiveCol))
+        .select(col("s"), col("id").as("src"), col("dist"))
+        .join(edges, "src")
+        .select(col("s"), col("dst").as("id"),
+          (col("dist") + col("weight")).as("cand"))
+        .groupBy("s", "id").agg(min("cand").as("cand"))
+      state.select("s", "id", "dist").join(candidates, Seq("s", "id"), "left")
+        .select(col("s"), col("id"),
+          least(col("dist"), coalesce(col("cand"), col("dist"))).as("dist"),
+          (coalesce(col("cand"), lit(inf)) < col("dist")).as(SuperstepLoop.ActiveCol))
+    }
+    edges.unpersist(false)
+    relaxed.state.filter(col("dist") =!= inf)
+      .select(col("s").as("sourceNodeId"), col("id").as("targetNodeId"),
+        col("dist").as("distance"))
+  }
 }

@@ -39,6 +39,23 @@ class ShortestPathsSpec extends AnyFunSuite with SparkTestBase {
     assert(rowsOf(Long.MaxValue) == rowsOf(-1L))
   }
 
+  test("weighted all-shortest-paths: every source's distances match dijkstra") {
+    val rnd = new scala.util.Random(77L)
+    val es  = Seq.fill(180)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+      (rnd.nextInt(9) + 1).toDouble))
+    val rg = weightedGraphOf(40, es)
+    def pairs(t: Long): Set[(Long, Long, Double)] =
+      ShortestPaths.allShortestPathsWeighted(rg, localTailThreshold = t).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val local = pairs(Long.MaxValue)
+    // local tail and distributed superstep loop agree exactly
+    assert(local == pairs(-1L))
+    // and each source's slice equals the verified single-source dijkstra
+    val s7 = ShortestPaths.dijkstraSingleSource(rg, 7L, trackPaths = false).collect()
+      .map(x => (7L, x.getLong(0), x.getDouble(1))).toSet
+    assert(local.filter(_._1 == 7L) == s7)
+  }
+
   test("source-target dijkstra emits one row; unreachable emits none") {
     val row = ShortestPaths.dijkstra(g, 0L, 3L).collect()
     assert(row.length == 1)
