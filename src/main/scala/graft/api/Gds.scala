@@ -221,6 +221,11 @@ final class Gds(val spark: SparkSession) {
     def streamAllPairs(name: String, sources: Option[DataFrame] = None,
                        orientation: Orientation = Orientation.Natural): DataFrame =
       MsBfs.allShortestPaths(catalog.get(name), sources, orientation)
+    /** Weighted all-pairs distance stream (the reference's
+      * WeightedAllShortestPaths): all sources relax in the same superstep. */
+    def streamAllPairsWeighted(name: String, sources: Option[DataFrame] = None,
+                               orientation: Orientation = Orientation.Natural): DataFrame =
+      ShortestPaths.allShortestPathsWeighted(catalog.get(name), sources, orientation)
   }
 
   object bfs {
