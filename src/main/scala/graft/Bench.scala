@@ -46,6 +46,11 @@ object Bench {
           // their own memory channels; extra threads on one socket share
           // them — this is the denominator that makes the thread pair a
           // faithful executor-pair proxy.
+          // the metric's second component: free-convergence iteration counts
+          // at 1e-6 and the reference-default 1e-7 on the standard density-1
+          // corpus (fixed 200k pages — iteration count is a property of the
+          // graph, not its size; see BASELINE.md)
+          val iters = ScalingBench.iterationsToTol(cpus, 200000L, density = 1.0)
           val bwLow  = graft.tools.MemBwProbe.run(cLow, 200000000L)
           val bwHigh = graft.tools.MemBwProbe.run(cHigh, 200000000L)
           val bwMax  = graft.tools.MemBwProbe.run(cpus, 200000000L)
@@ -56,6 +61,7 @@ object Bench {
             s""""eps_low":${"%.0f".format(low.edgesPerSecPerSuperstep)},"cores_high":$cHigh,""" +
             s""""secs_high":${"%.3f".format(mid.secs)},"eps_high":${"%.0f".format(mid.edgesPerSecPerSuperstep)},""" +
             s""""scaling_efficiency":${"%.3f".format(eff)},""" +
+            s""""iters_to_1e6":${iters._1},"iters_to_1e7":${iters._2},""" +
             s""""hw_ceiling_efficiency_${cLow}_$cHigh":${"%.3f".format(bwEffPair)},""" +
             s""""efficiency_vs_hw_ceiling_${cLow}_$cHigh":${"%.3f".format(eff / bwEffPair)},""" +
             s""""cores_max":$cpus,"secs_max":${"%.3f".format(high.secs)},""" +

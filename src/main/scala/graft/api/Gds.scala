@@ -83,6 +83,13 @@ final class Gds(val spark: SparkSession) {
       catalog.addRelationships(name, relType, result)
     def deleteRelationships(name: String, relType: String): PropertyGraph =
       catalog.deleteRelationships(name, relType)
+    /** Persist a catalog graph bucketed by its join keys (edges by src,
+      * vertices by id) — subsequent loads scan pre-distributed tables and
+      * src-keyed plans skip the initial exchange (graft.io.BucketedGraphStore). */
+    def exportBucketed(name: String, dir: String, buckets: Int): Unit =
+      graft.io.BucketedGraphStore.save(spark, catalog.get(name), name, dir, buckets)
+    def importBucketed(name: String): PropertyGraph =
+      catalog.create(name, graft.io.BucketedGraphStore.load(spark, name))
   }
 
   object pageRank {
