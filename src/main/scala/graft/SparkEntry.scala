@@ -741,6 +741,19 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id")
     }),
+    "q_ivf_topk" -> ((s, dir) => {
+      // planted-copy recall check for the IVF coarse quantizer: identical
+      // vectors land in the same cell and every query probes its own cell
+      // first, so top-1 must be the original at cosine 1.0 — the same
+      // oracle-exact construction as q_lsh_topk
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Ann.ivfTopK(planted, e.unionByName(planted), k = 1)
+        .filter(col("neighbor_id") < 1000000L)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id")
+    }),
     "q_cosine_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup over a corpus with planted duplicates:
       // scaled copies (exactly collinear -> cosine 1.0, sharing every
@@ -1366,6 +1379,10 @@ object SparkEntry {
          |  CAST(0 AS BIGINT) AS bad_dims, CAST(0 AS BIGINT) AS non_finite,
          |  CAST(0 AS BIGINT) AS digest_mismatch""".stripMargin,
     "q_lsh_topk" ->
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id,
+        |1.0 AS cosine, CAST(1 AS INT) AS rank
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "q_ivf_topk" ->
       """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id,
         |1.0 AS cosine, CAST(1 AS INT) AS rank
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,

@@ -19,7 +19,12 @@ final case class WccConfig(
   checkpointDir: Option[String] = None,
   checkpointInterval: Int = 1,
   numPartitions: Option[Int] = None,
-  localSolveThreshold: Long = 100000L)
+  localSolveThreshold: Long = 100000L,
+  /** Supersteps chained lazily per driver action (LoopConfig.fusedSteps):
+    * >1 checks convergence only at batch boundaries — at most fusedSteps-1
+    * near-empty extra rounds (the shrunk frontier makes them cheap) in
+    * exchange for 1/fusedSteps the driver synchronizations. */
+  fusedSteps: Int = 1)
 
 final case class WccResult(components: DataFrame, ranIterations: Int, didConverge: Boolean)
 
@@ -68,7 +73,8 @@ object Wcc {
       .repartition(parts, col("id"))
       .select(col("id"), initComp.as("comp"), lit(true).as(SuperstepLoop.ActiveCol))
 
-    val loopCfg = LoopConfig(cfg.maxSteps, cfg.checkpointDir, cfg.checkpointInterval)
+    val loopCfg = LoopConfig(cfg.maxSteps, cfg.checkpointDir, cfg.checkpointInterval,
+      fusedSteps = cfg.fusedSteps)
     val result = SuperstepLoop.run(init, loopCfg) { (state, _) =>
       val candidates = state
         .filter(col(SuperstepLoop.ActiveCol))

@@ -153,4 +153,79 @@ object Ann {
       .select(col("id_a"), col("id_b"), graft.core.Num.roundTo(cosine(col("v_a"), col("v_b")), 5).as("cosine"))
       .filter(col("cosine") >= lit(threshold))
   }
+
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    * path next to [[lshTopK]]: the corpus is partitioned into `nlist`
+    * centroid cells (short deterministic Lloyd refinement of a hash-seeded
+    * init), a query scores only the cells of its `nprobe` nearest
+    * centroids, exact cosine + top-k within the probed candidates. The
+    * centroid table (nlist x dim) is the ONLY driver-side state — genuinely
+    * tiny and broadcast to both assignment scans; the corpus itself moves
+    * through one groupBy(cell) equi-join, never all-pairs. Identical
+    * vectors always share a cell and every query probes its own cell first,
+    * so exact-duplicate recall is structural (the oracle-checkable
+    * invariant), while general recall grows with `nprobe`. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+
+    // hash-seeded deterministic init: the nlist corpus vectors with the
+    // smallest id hashes (spread uniformly, independent of row order)
+    var centroids: Array[(Int, Array[Double])] =
+      c.orderBy(xxhash64(col("neighbor_id")), col("neighbor_id")).limit(nlist)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+
+    def centroidDf(spark: org.apache.spark.sql.SparkSession) =
+      spark.createDataFrame(centroids.map { case (i, v) => (i, v.toSeq) })
+        .toDF("cell", "centroid")
+
+    /** Nearest-centroid cell per vector: broadcast the tiny centroid table,
+      * argmin via a lexicographic struct-min (max cosine, ties -> smaller
+      * cell id) — one map-side pass + one combine per vector. */
+    def assign(df: DataFrame, id: String, v: String): DataFrame =
+      df.crossJoin(broadcast(centroidDf(df.sparkSession)))
+        .select(col(id), col(v),
+          struct((-cosine(col(v), col("centroid"))).as("neg"), col("cell").as("cell")).as("sc"))
+        .groupBy(col(id), col(v))
+        .agg(min("sc").as("sc"))
+        .select(col(id), col(v), col("sc.cell").as("cell"))
+
+    val spark = corpus.sparkSession
+    for (_ <- 1 to lloydIters) {
+      // Lloyd update: per-cell mean, computed dimension-wise (explode ->
+      // partial-agg avg -> re-assemble); the collected result is nlist rows
+      val means = assign(c, "neighbor_id", "cv")
+        .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("centroid"))
+        .collect()
+      centroids = means.map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    }
+
+    val cells  = assign(c, "neighbor_id", "cv")
+    val q      = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    // nprobe nearest centroids per query (rank over the broadcast table)
+    val probes = q.crossJoin(broadcast(centroidDf(spark)))
+      .select(col("query_id"), col("qv"), col("cell"),
+        cosine(col("qv"), col("centroid")).as("ccos"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("ccos"), col("cell"))))
+      .filter(col("prank") <= nprobe)
+      .select("query_id", "qv", "cell")
+
+    val sims = probes.join(cells, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.core.Num.roundTo(cosine(col("qv"), col("cv")), 5).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
 }

@@ -102,6 +102,28 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh.contains(exact), s"lsh=$lsh exact=$exact")
   }
 
+  test("IVF top-k: exact-duplicate recall is structural; clustered recall high") {
+    import spark.implicits._
+    // two tight clusters around +1 and -1 per-dimension bases
+    val vecs = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.tabulate(8)(d => base * (1.0f + 0.01f * ((i * 7 + d) % 5))))
+    }.toDF("vec_id", "embedding")
+    // a planted exact copy of vector 0 must come back at rank 1, cosine 1.0
+    val copy = vecs.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
+    val hit = Ann.ivfTopK(copy, vecs.unionByName(copy), k = 1, nlist = 4, nprobe = 1)
+      .collect().head
+    assert(hit.getLong(1) == 0L && hit.getDouble(2) == 1.0)
+    // within-cluster queries find their exact nearest neighbor with nprobe=2
+    val exact = Ann.bruteForceTopK(vecs.filter(col("vec_id") < 4), vecs, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Ann.ivfTopK(vecs.filter(col("vec_id") < 4), vecs, k = 1,
+      nlist = 4, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf == exact, s"ivf=$ivf exact=$exact")
+  }
+
   test("multimodal plumbing: decode + features + frame sampling") {
     val media = Multimodal.synthMedia(spark, 30).persist()
     val dec = Multimodal.extractFeatures(Multimodal.decodeImages(media))

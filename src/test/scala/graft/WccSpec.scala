@@ -28,6 +28,16 @@ class WccSpec extends AnyFunSuite with SparkTestBase {
     assert(r.didConverge)
   }
 
+  test("fused supersteps produce identical components") {
+    // the distributed path (localSolveThreshold = -1) with batched
+    // convergence checks must equal the per-round-checked run exactly
+    val fused = Wcc.run(graph, WccConfig(localSolveThreshold = -1L, fusedSteps = 4))
+    val plain = Wcc.run(graph, WccConfig(localSolveThreshold = -1L))
+    assert(collectLongMap(fused.components, "id", "componentId") ==
+           collectLongMap(plain.components, "id", "componentId"))
+    assert(fused.didConverge)
+  }
+
   test("orientation-independent: reversed edges give identical components") {
     val rev = graph.copy(edges = graph.edges.select(
       col("dst").as("src"), col("src").as("dst")))
