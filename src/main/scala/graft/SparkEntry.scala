@@ -1060,6 +1060,27 @@ object SparkEntry {
       val spark = s; import spark.implicits._
       Seq((vN, e.getLong(0), e.getLong(1))).toDF("vertices", "edges", "edge_checksum")
     }),
+    "q_bucketed_roundtrip" -> ((s, dir) => {
+      // bucketed graph store roundtrip: same counts/checksum contract as the
+      // csv/snapshot roundtrips, PLUS the layout guarantee — the src
+      // aggregation over the re-loaded edges must plan with no exchange
+      // (bucket distribution satisfies it); exchanges found are emitted so
+      // the oracle catches a layout regression as a value mismatch.
+      val g = denseGraph(s, dir)
+      val d = java.nio.file.Files.createTempDirectory("graft-bk-rt").toString
+      graft.io.BucketedGraphStore.save(s, g, "q_bk_rt", d,
+        buckets = s.sessionState.conf.numShufflePartitions)
+      val back = graft.io.BucketedGraphStore.load(s, "q_bk_rt")
+      val agg = back.edges.groupBy("src").count()
+      val exchanges = "Exchange".r.findAllIn(agg.queryExecution.executedPlan.toString).size
+      val vN = back.vertices.count()
+      val e = back.edges.agg(count(lit(1)).as("n"),
+        sum(col("src") * 31 + col("dst")).as("cks")).first()
+      graft.io.BucketedGraphStore.drop(s, "q_bk_rt")
+      val spark = s; import spark.implicits._
+      Seq((vN, e.getLong(0), e.getLong(1), exchanges.toLong))
+        .toDF("vertices", "edges", "edge_checksum", "agg_exchanges")
+    }),
     "q_snapshot_roundtrip" -> ((s, dir) => {
       // Iceberg-style snapshot export/import (atomic manifest commit)
       val g = denseGraph(s, dir)
@@ -1465,6 +1486,8 @@ object SparkEntry {
     "q_exec_modes" -> ExecModesSql,
     "q_catalog" -> CatalogSql,
     "q_csv_roundtrip" -> RoundtripSql,
+    "q_bucketed_roundtrip" -> RoundtripSql.replace("AS edge_checksum",
+      "AS edge_checksum, CAST(0 AS BIGINT) AS agg_exchanges"),
     "q_snapshot_roundtrip" -> RoundtripSql,
     "q_estimate" -> EstimateSql,
     "q_astar" ->
