@@ -486,6 +486,43 @@ object SparkEntry {
       Events.sessionize(table(s, dir, "events")).orderBy("user_id", "session_id")),
     "q_events_window" -> ((s, dir) =>
       Events.windowedCounts(table(s, dir, "events")).orderBy("window_start", "event_type")),
+    "q_events_window_stream" -> ((s, dir) => {
+      // watermarked tumbling-window counts as a structured stream over the
+      // SAME events table: fed time-ordered in two micro-batches plus a
+      // far-future sentinel that drives the watermark past every real
+      // window's close, the append-mode output must equal the batch
+      // windowedCounts (= the q_events_window oracle) exactly. The
+      // sentinel's own window never closes and is filtered.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = table(s, dir, "events")
+        .select(col("ts").cast("timestamp"), col("event_type"),
+          col("value").cast("double"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1),
+          if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+        .sortBy(_._1.getTime)
+      val maxTs = rows.map(_._1.getTime).max
+      val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val q = Events.windowedCountsStream(
+          input.toDS().toDF("ts", "event_type", "value"),
+          windowExpr = "1 hour", watermark = "2 hours")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("q_events_window_stream_out").start()
+      try {
+        val (a, b) = rows.splitAt(rows.length / 2)
+        input.addData(a.toSeq); q.processAllAvailable()
+        input.addData(b.toSeq); q.processAllAvailable()
+        input.addData((new java.sql.Timestamp(maxTs + 7 * 86400000L), "sentinel", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q_events_window_stream_out")
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
     "q_sessionize_stream" -> ((s, dir) => {
       // the Structured Streaming sessionizer (keyed state + event-time
       // timeout) over the SAME events table, fed through a MemoryStream and
@@ -1367,6 +1404,10 @@ object SparkEntry {
         |floor(sum(value) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_events_window_stream" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+        |floor(sum(value) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_hits" -> hitsSql(DenseEdgesSql, iterations = 3),
     "q_louvain_l1" -> louvainL1Sql(DenseEdgesSql),
     "q_louvain" -> "SELECT true AS partition_complete, true AS improves_singletons",
