@@ -97,6 +97,39 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     })
   }
 
+  test("weighted all-pairs: every source slice matches local Bellman-Ford") {
+    val genWeighted: Gen[(Int, List[(Long, Long, Double)])] = for {
+      n     <- Gen.choose(2, 12)
+      m     <- Gen.choose(1, 24)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L)
+        b <- Gen.choose(0L, n - 1L)
+        w <- Gen.choose(1, 9)
+      } yield (a, b, w.toDouble))
+    } yield (n, edges)
+    assertHolds(Prop.forAll(genWeighted) { case (n, edges) =>
+      val g = weightedGraphOf(n, edges)
+      val minW = edges.groupBy(e => (e._1, e._2)).map { case (k, es) => k -> es.map(_._3).min }
+      def bf(s: Long): Map[Long, Double] = {
+        val dist = scala.collection.mutable.Map(s -> 0.0)
+        var changed = true
+        while (changed) {
+          changed = false
+          minW.foreach { case ((a, b), w) =>
+            if (dist.contains(a) && dist(a) + w < dist.getOrElse(b, Double.MaxValue)) {
+              dist(b) = dist(a) + w; changed = true
+            }
+          }
+        }
+        dist.toMap
+      }
+      val got = graft.algo.ShortestPaths.allShortestPathsWeighted(g).collect()
+        .groupBy(_.getLong(0))
+        .map { case (s, rs) => s -> rs.map(r => r.getLong(1) -> r.getDouble(2)).toMap }
+      (0L until n).forall(s => got.getOrElse(s, Map.empty) == bf(s))
+    })
+  }
+
   /** Reference-model Brandes (directed, unweighted, all sources). */
   private def localBrandesRef(n: Int, edges: Seq[(Long, Long)]): Map[Long, Double] = {
     import scala.collection.mutable
