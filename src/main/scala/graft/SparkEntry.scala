@@ -836,6 +836,29 @@ object SparkEntry {
           && col("channels") === 3, 0).otherwise(1)).as("bad_dims"),
         sum(when(size(col("embedding")) === 64, 0).otherwise(1)).as("bad_embeddings"))
     }),
+    "q_generate" -> ((s, _) => {
+      // validity projection of gds.beta.graph.generate (the draws are
+      // engine-hash-specific): uniform degree exactness, power-law target
+      // bounds, cross-run determinism, property-producer ranges.
+      import graft.io.GraphGenerate
+      import graft.io.GraphGenerate.Distribution
+      val u = GraphGenerate.edges(s, 500L, 4L, Distribution.Uniform, seed = 11L)
+      val uniformEdges = u.count()
+      val uniformBad = u.groupBy("src").count().filter(col("count") =!= 4L).count()
+      def digest(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(col("src") * 31 + col("dst"))).first().getLong(0)
+      val p1 = GraphGenerate.edges(s, 500L, 4L, Distribution.PowerLaw, seed = 11L)
+      val badTargets = p1.filter(col("dst") < 1L || col("dst") > 499L).count()
+      val det = digest(p1) ==
+        digest(GraphGenerate.edges(s, 500L, 4L, Distribution.PowerLaw, seed = 11L))
+      val g = GraphGenerate.graph(s, 200L, 3L, Distribution.Random, 7L,
+        Seq(GraphGenerate.RandomDouble("x", -1.0, 1.0)))
+      val badProps = g.vertices.filter(col("x") < -1.0 || col("x") >= 1.0).count()
+      val spark = s; import spark.implicits._
+      Seq((uniformEdges, uniformBad, badTargets, if (det) 1L else 0L, badProps))
+        .toDF("uniform_edges", "uniform_degree_violations",
+          "powerlaw_target_violations", "deterministic", "property_violations")
+    }),
     "q_pages_wcc" -> ((s, _) => {
       // invariant projection of WCC over the synthetic web graph: component
       // sizes partition all 3000 pages, and the power-law corpus forms one
@@ -1470,6 +1493,12 @@ object SparkEntry {
          |SELECT CAST(0 AS BIGINT) AS invalid_transitions,
          |  (SELECT count(*) FROM nodes) AS walks,
          |  (SELECT count(*) FROM nodes) AS complete_walks""".stripMargin,
+    "q_generate" ->
+      """SELECT CAST(2000 AS BIGINT) AS uniform_edges,
+        |CAST(0 AS BIGINT) AS uniform_degree_violations,
+        |CAST(0 AS BIGINT) AS powerlaw_target_violations,
+        |CAST(1 AS BIGINT) AS deterministic,
+        |CAST(0 AS BIGINT) AS property_violations""".stripMargin,
     "q_pages_wcc" -> "SELECT CAST(3000 AS BIGINT) AS nodes_total, true AS has_giant",
 
     "q_dijkstra" -> dijkstraPathSql(

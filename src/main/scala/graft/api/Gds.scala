@@ -83,6 +83,16 @@ final class Gds(val spark: SparkSession) {
       catalog.addRelationships(name, relType, result)
     def deleteRelationships(name: String, relType: String): PropertyGraph =
       catalog.deleteRelationships(name, relType)
+    /** `gds.beta.graph.generate`: deterministic seeded random graph with
+      * the reference's UNIFORM/RANDOM/POWER_LAW distributions and property
+      * producers (graft.io.GraphGenerate), registered in the catalog. */
+    def generate(name: String, nodeCount: Long, averageDegree: Long,
+                 distribution: graft.io.GraphGenerate.Distribution =
+                   graft.io.GraphGenerate.Distribution.Uniform,
+                 seed: Long = 42L,
+                 properties: Seq[graft.io.GraphGenerate.PropertyProducer] = Seq.empty): PropertyGraph =
+      catalog.create(name, graft.io.GraphGenerate.graph(
+        spark, nodeCount, averageDegree, distribution, seed, properties))
     /** Persist a catalog graph bucketed by its join keys (edges by src,
       * vertices by id) — subsequent loads scan pre-distributed tables and
       * src-keyed plans skip the initial exchange (graft.io.BucketedGraphStore). */
