@@ -80,6 +80,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // tmpfs shuffle spill, same as the scaling legs: query timings should
+      // measure the engine, not the block device
+      .config("spark.local.dir",
+        sys.env.getOrElse("GRAFT_BENCH_LOCAL_DIR", "/dev/shm/spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
