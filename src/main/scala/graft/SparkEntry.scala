@@ -31,6 +31,18 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Scope the stateful-stream shuffle/state-store partition count to the
+    * data (the state store allocates one instance per partition per
+    * micro-batch — 32 is over-provisioned for the test corpora; a real
+    * deployment sizes this to keyed-state volume the same way). Restores
+    * the previous setting afterwards. */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key  = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -486,7 +498,7 @@ object SparkEntry {
       Events.sessionize(table(s, dir, "events")).orderBy("user_id", "session_id")),
     "q_events_window" -> ((s, dir) =>
       Events.windowedCounts(table(s, dir, "events")).orderBy("window_start", "event_type")),
-    "q_events_window_stream" -> ((s, dir) => {
+    "q_events_window_stream" -> ((s, dir) => withStatePartitions(s, 8) {
       // watermarked tumbling-window counts as a structured stream over the
       // SAME events table: fed time-ordered in two micro-batches plus a
       // far-future sentinel that drives the watermark past every real
@@ -523,7 +535,7 @@ object SparkEntry {
           col("event_type"), col("n"), col("total_value"))
         .orderBy("window_start", "event_type")
     }),
-    "q_sessionize_stream" -> ((s, dir) => {
+    "q_sessionize_stream" -> ((s, dir) => withStatePartitions(s, 8) {
       // the Structured Streaming sessionizer (keyed state + event-time
       // timeout) over the SAME events table, fed through a MemoryStream and
       // closed out by a far-future sentinel user: once every real session's
@@ -596,7 +608,7 @@ object SparkEntry {
       val spark = s; import spark.implicits._
       Seq(missed).toDF("missed_true_pairs")
     }),
-    "q_dedup_stream" -> ((s, dir) => {
+    "q_dedup_stream" -> ((s, dir) => withStatePartitions(s, 8) {
       // streaming exact dedup over the documents table fed in two
       // micro-batches (cross-batch duplicate state exercised): exactly one
       // representative per normalized-text fingerprint must survive, so the
