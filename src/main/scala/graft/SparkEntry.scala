@@ -323,7 +323,7 @@ object SparkEntry {
     }),
     "q_eigenvector" -> ((s, dir) => {
       val r = Eigenvector.run(denseGraph(s, dir),
-        PageRankConfig(tolerance = 0.0, maxIterations = 6))
+        PageRankConfig(tolerance = 0.0, maxIterations = 6, fusedSteps = 5))
       r.scores.select(col("id"), graft.core.Num.roundTo(col("score"), 6).as("score")).orderBy("id")
     }),
     "q_node_similarity" -> ((s, dir) => {
@@ -1057,34 +1057,57 @@ object SparkEntry {
           r6(col("ra")).as("resource_alloc"))
         .orderBy("a")
     }),
-    "q_exec_modes" -> ((s, dir) => {
-      // the four execution modes end-to-end on a catalog graph: stream
-      // (stats source), stats, mutate + property stream, write + read-back —
-      // every digest is derived from the SAME PageRank run the exact
-      // pagerankSql oracle replays.
+    // Execution modes (stream/stats/mutate/write — SURVEY §2 #14), split into
+    // three single-purpose queries so one fragile step can't blank the whole
+    // surface in the driver compare (round 2 shipped them as one combined
+    // q_exec_modes, which dumped and oracled fine locally at sf0.01 but was
+    // dropped from CORRECTNESS_r02 by something driver-side). Each digest
+    // derives from the same PageRank run the exact pagerankSql oracle replays.
+    "q_exec_stats" -> ((s, dir) => {
       val gds = new graft.api.Gds(s)
       val g = ordersGraph(s, dir)
-      gds.graph.create("em_g", g.vertices, g.edges)
-      val cfg = PageRankConfig(tolerance = 0.0, maxIterations = 8)
-      val st = gds.pageRank.stats("em_g", cfg)
-      gds.pageRank.mutate("em_g", "pr", cfg)
-      val props = gds.graph.streamNodeProperties("em_g", Seq("pr"))
-      val wdir = java.nio.file.Files.createTempDirectory("graft-em-write").toString
-      gds.pageRank.write("em_g", wdir, cfg)
-      val back = graft.io.SnapshotStore.read(s, wdir)
-      val pr6 = graft.core.Num.roundTo(col("pr"), 6)
-      val pd = props.agg(count(col("pr")).as("n"),
-        graft.core.Num.roundTo(sum(pr6), 4).as("ps"),
-        graft.core.Num.roundTo(avg(pr6), 4).as("pm")).first()
-      val bd = back.agg(count(lit(1)).as("n"),
-        graft.core.Num.roundTo(sum(graft.core.Num.roundTo(col("score"), 6)), 4).as("ws")).first()
+      gds.graph.create("em_stats_g", g.vertices, g.edges)
+      val st = gds.pageRank.stats("em_stats_g",
+        PageRankConfig(tolerance = 0.0, maxIterations = 8))
+      gds.graph.drop("em_stats_g")
       def r6(x: Double) = math.floor(x * 1e6 + 0.5 + 1e-6) / 1e6
       val spark = s; import spark.implicits._
-      Seq((st.getLong(0), r6(st.getDouble(1)), r6(st.getDouble(2)),
-           pd.getLong(0), pd.getDouble(1), pd.getDouble(2),
-           bd.getLong(0), bd.getDouble(1)))
-        .toDF("stats_count", "stats_min", "stats_max", "mutated_rows",
-          "prop_sum", "prop_mean", "written_rows", "written_sum")
+      Seq((st.getLong(0), r6(st.getDouble(1)), r6(st.getDouble(2))))
+        .toDF("stats_count", "stats_min", "stats_max")
+    }),
+    "q_exec_mutate" -> ((s, dir) => {
+      val gds = new graft.api.Gds(s)
+      val g = ordersGraph(s, dir)
+      gds.graph.create("em_mut_g", g.vertices, g.edges)
+      gds.pageRank.mutate("em_mut_g", "pr",
+        PageRankConfig(tolerance = 0.0, maxIterations = 8))
+      val props = gds.graph.streamNodeProperties("em_mut_g", Seq("pr"))
+      val pr6 = graft.core.Num.roundTo(col("pr"), 6)
+      val out = props.agg(count(col("pr")).as("mutated_rows"),
+        graft.core.Num.roundTo(sum(pr6), 4).as("prop_sum"),
+        graft.core.Num.roundTo(avg(pr6), 4).as("prop_mean"))
+        .select(col("mutated_rows"), col("prop_sum"), col("prop_mean"))
+      val collected = out.collect()(0)
+      gds.graph.drop("em_mut_g")
+      val spark = s; import spark.implicits._
+      Seq((collected.getLong(0), collected.getDouble(1), collected.getDouble(2)))
+        .toDF("mutated_rows", "prop_sum", "prop_mean")
+    }),
+    "q_exec_write" -> ((s, dir) => {
+      val gds = new graft.api.Gds(s)
+      val g = ordersGraph(s, dir)
+      gds.graph.create("em_wr_g", g.vertices, g.edges)
+      val wdir = java.nio.file.Files.createTempDirectory("graft-em-write").toString
+      gds.pageRank.write("em_wr_g", wdir,
+        PageRankConfig(tolerance = 0.0, maxIterations = 8))
+      val back = graft.io.SnapshotStore.read(s, wdir)
+      val bd = back.agg(count(lit(1)).as("n"),
+        graft.core.Num.roundTo(sum(graft.core.Num.roundTo(col("score"), 6)), 4).as("ws"))
+        .collect()(0)
+      gds.graph.drop("em_wr_g")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wdir))
+      val spark = s; import spark.implicits._
+      Seq((bd.getLong(0), bd.getDouble(1))).toDF("written_rows", "written_sum")
     }),
     "q_catalog" -> ((s, dir) => {
       // graph-catalog lifecycle: createFromSql (the cypher-projection
@@ -1416,8 +1439,8 @@ object SparkEntry {
         |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, ts, value,
-        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS events, min(ts) AS started, max(ts) AS ended,
         |  floor(sum(value) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS total_value
@@ -1428,8 +1451,8 @@ object SparkEntry {
         |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, ts, value,
-        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS events, min(ts) AS started, max(ts) AS ended,
         |  floor(sum(COALESCE(value, 0)) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS total_value
@@ -1565,7 +1588,9 @@ object SparkEntry {
     "q_scale_properties" -> ScalePropertiesSql,
     "q_similarity_fns" -> SimilarityFnsSql,
     "q_linkpred_fns" -> LinkPredFnsSql,
-    "q_exec_modes" -> ExecModesSql,
+    "q_exec_stats" -> ExecStatsSql,
+    "q_exec_mutate" -> ExecMutateSql,
+    "q_exec_write" -> ExecWriteSql,
     "q_catalog" -> CatalogSql,
     "q_csv_roundtrip" -> RoundtripSql,
     "q_bucketed_roundtrip" -> RoundtripSql.replace("AS edge_checksum",
@@ -1666,15 +1691,27 @@ object SparkEntry {
        |ORDER BY p.a""".stripMargin
   }
 
-  private val ExecModesSql: String = {
+  private val ExecStatsSql: String = {
     val pr = pagerankSql(OrdersEdgesSql, supersteps = 8, weighted = false)
     s"""WITH prq AS (SELECT * FROM ($pr) t)
        |SELECT count(*) AS stats_count,
-       |  min(score) AS stats_min, max(score) AS stats_max,
-       |  count(*) AS mutated_rows,
+       |  min(score) AS stats_min, max(score) AS stats_max
+       |FROM prq""".stripMargin
+  }
+
+  private val ExecMutateSql: String = {
+    val pr = pagerankSql(OrdersEdgesSql, supersteps = 8, weighted = false)
+    s"""WITH prq AS (SELECT * FROM ($pr) t)
+       |SELECT count(*) AS mutated_rows,
        |  floor(sum(score) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS prop_sum,
-       |  floor(avg(score) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS prop_mean,
-       |  count(*) AS written_rows,
+       |  floor(avg(score) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS prop_mean
+       |FROM prq""".stripMargin
+  }
+
+  private val ExecWriteSql: String = {
+    val pr = pagerankSql(OrdersEdgesSql, supersteps = 8, weighted = false)
+    s"""WITH prq AS (SELECT * FROM ($pr) t)
+       |SELECT count(*) AS written_rows,
        |  floor(sum(score) * 10000.0 + 0.5 + 0.000001) / 10000.0 AS written_sum
        |FROM prq""".stripMargin
   }

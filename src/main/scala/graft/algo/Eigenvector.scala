@@ -57,7 +57,13 @@ object Eigenvector {
         (col("next") / lit(if (l2init == 0.0) 1.0 else l2init)).as("rank"),
         col("next"), lit(true).as(SuperstepLoop.ActiveCol))
 
-    val loopCfg = LoopConfig(cfg.maxIterations - 1, cfg.checkpointDir, cfg.checkpointInterval)
+    // The step is fixpoint-stable (a converged rank reproduces itself within
+    // tolerance), and at tolerance=0 the run is fixed-iteration — so fusing
+    // supersteps (one multi-stage job per batch, no per-superstep persist +
+    // driver sync) changes nothing semantically there. The per-superstep L2
+    // is an in-plan broadcast, so it chains lazily like the rest of the step.
+    val loopCfg = LoopConfig(cfg.maxIterations - 1, cfg.checkpointDir, cfg.checkpointInterval,
+      fusedSteps = cfg.fusedSteps)
     val result = SuperstepLoop.run(init, loopCfg) { (state, _) =>
       val inbox = state
         .select(col("id").as("src"), col("next"))

@@ -3,8 +3,14 @@ package graft.algo
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.PropertyGraph
+import graft.pregel.{LoopConfig, SuperstepLoop}
 
-final case class HitsConfig(maxIterations: Int = 20, numPartitions: Option[Int] = None)
+/** @param fusedSteps iterations chained lazily per driver action (see
+  *                   [[graft.pregel.LoopConfig.fusedSteps]]). HITS runs a
+  *                   FIXED iteration count (no convergence check), so fusing
+  *                   loses nothing; the only cost is a deeper one-time plan. */
+final case class HitsConfig(maxIterations: Int = 20, numPartitions: Option[Int] = None,
+                            fusedSteps: Int = 5)
 
 /** HITS hubs & authorities (reference: alpha/alpha-proc/src/main/java/org/
   * neo4j/gds/pregel/Hits.java — a Pregel computation alternating
@@ -13,9 +19,10 @@ final case class HitsConfig(maxIterations: Int = 20, numPartitions: Option[Int] 
   *
   * Two shuffle aggregations per iteration; the two L2 scalars (the
   * masterCompute analogue) are 1-row aggregates broadcast back into the same
-  * plan, so each iteration costs exactly ONE driver action (the persist-
-  * materializing count) — round 1 collected both L2 scalars on the driver
-  * per iteration, three synchronization points per step. Returns
+  * plan. Iterations run under [[SuperstepLoop]] with `fusedSteps` chained
+  * lazily per driver action — a batch of K iterations is ONE multi-stage job
+  * (round 2 persisted + counted twice per iteration, pure fixed cost on
+  * small graphs and a per-superstep driver sync at scale). Returns
   * (id, hub, auth).
   */
 object Hits {
@@ -32,43 +39,38 @@ object Hits {
     val edgesByDst = graph.edges.select("src", "dst")
       .repartition(parts, col("dst")).persist()
 
-    var state = graph.vertices.select("id")
+    val init = graph.vertices.select("id")
       .repartition(parts, col("id"))
-      .select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
-      .persist()
-    state.count()
+      .select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"),
+        lit(true).as(SuperstepLoop.ActiveCol))
 
     def l2Of(df: DataFrame, c: String): DataFrame =
       df.agg(sqrt(sum(col(c) * col(c))).as("__l2"))
         .select(when(col("__l2") === 0.0, lit(1.0)).otherwise(col("__l2")).as("__l2"))
 
-    for (_ <- 1 to cfg.maxIterations) {
+    val result = SuperstepLoop.run(init,
+        LoopConfig(cfg.maxIterations, fusedSteps = cfg.fusedSteps)) { (state, _) =>
       // auth(v) = Σ hub(u) for u→v, L2-normalized in-plan
       val authRaw = state.select(col("id").as("src"), col("hub"))
         .join(edges, "src")
         .groupBy(col("dst").as("id")).agg(sum("hub").as("a"))
-      val s1 = state.select("id", "hub").join(authRaw, Seq("id"), "left")
+      val authJoined = state.select("id", "hub").join(authRaw, Seq("id"), "left")
         .select(col("id"), col("hub"), coalesce(col("a"), lit(0.0)).as("auth"))
-        .crossJoin(broadcast(l2Of(state.select("id", "hub").join(authRaw, Seq("id"), "left")
-          .select(coalesce(col("a"), lit(0.0)).as("auth")), "auth")))
+      val s1 = authJoined
+        .crossJoin(broadcast(l2Of(authJoined.select("auth"), "auth")))
         .select(col("id"), col("hub"), (col("auth") / col("__l2")).as("auth"))
-        .persist()
       // hub(u) = Σ auth(v) for u→v, L2-normalized in-plan
       val hubRaw = s1.select(col("id").as("dst"), col("auth"))
         .join(edgesByDst, "dst")
         .groupBy(col("src").as("id")).agg(sum("auth").as("h"))
       val next = s1.select("id", "auth").join(hubRaw, Seq("id"), "left")
         .select(col("id"), coalesce(col("h"), lit(0.0)).as("hub"), col("auth"))
-      val hl2 = l2Of(next.select("hub"), "hub")
-      val out = next.crossJoin(broadcast(hl2))
-        .select(col("id"), (col("hub") / col("__l2")).as("hub"), col("auth"))
-        .persist()
-      out.count()
-      state.unpersist(false); s1.unpersist(false)
-      state = org.apache.spark.sql.GraftSqlCompat.truncatePlan(out)
+      next.crossJoin(broadcast(l2Of(next.select("hub"), "hub")))
+        .select(col("id"), (col("hub") / col("__l2")).as("hub"), col("auth"),
+          lit(true).as(SuperstepLoop.ActiveCol))
     }
     edges.unpersist(false)
     edgesByDst.unpersist(false)
-    state.select("id", "hub", "auth")
+    result.state.select("id", "hub", "auth")
   }
 }
