@@ -79,15 +79,28 @@ object ShortestPaths {
     edges.unpersist(false)
     if (!trackPaths) return withPred
 
-    // Iterative path reconstruction: walk each node's predecessor chain,
-    // prepending ancestors until every walk reaches the source. Rounds =
-    // max hop count of the canonical pred chains (NOT bounded by the
-    // relaxation round count — an equal-cost min-pred chain can have more
-    // hops than the first-discovered path), so convergence stays observed;
-    // but the walk batches `fuse` hops per driver action as one lazy
-    // plan-truncated chain: walks already at the source are fixpoint rows,
-    // so over-running inside a batch is a no-op.
-    val forest = withPred.select(col("id").as("cur0"), col("pred").as("prev"))
+    val walk = walkPreds(withPred.select(col("id"), col("pred")),
+      withPred.select(col("id"), col("id").as("cur"), array(col("id")).as("path")),
+      source, maxRounds, parts)
+    val out = withPred.join(walk.select("id", "path"), "id")
+      .select("id", "dist", "pred", "path")
+    out
+  }
+
+  /** Iterative predecessor-chain reconstruction: walk every start row's
+    * chain through `predTable` (id, pred), prepending ancestors until each
+    * walk reaches the source. Rounds = max hop count of the canonical pred
+    * chains (NOT bounded by the relaxation round count — an equal-cost
+    * min-pred chain can have more hops than the first-discovered path), so
+    * convergence stays observed; but the walk batches `fuse` hops per
+    * driver action as one lazy plan-truncated chain: walks already at the
+    * source are fixpoint rows, so over-running inside a batch is a no-op.
+    * `start` rows carry (id, cur, path); returns (id, path). Shared by the
+    * all-targets walk ([[dijkstraSingleSource]]) and the single-target
+    * chain ([[astar]]) — one driver action per `fuse` hops either way. */
+  private def walkPreds(predTable: DataFrame, start: DataFrame, source: Long,
+                        maxRounds: Int, parts: Int, fuse: Int = 8): DataFrame = {
+    val forest = predTable.select(col("id").as("cur0"), col("pred").as("prev"))
       .repartition(parts, col("cur0")).persist()
     def step(w: DataFrame): DataFrame = w
       .join(forest, w("cur") === forest("cur0"), "left")
@@ -104,9 +117,7 @@ object ShortestPaths {
         .first().getLong(0)
       (cached, left)
     }
-    val fuse = 8
-    var (cached, remaining) = materialize(withPred
-      .select(col("id"), col("id").as("cur"), array(col("id")).as("path")))
+    var (cached, remaining) = materialize(start)
     var walk = GraftSqlCompat.truncatePlan(cached)
     var rounds = 0
     while (remaining > 0 && rounds < maxRounds) {
@@ -124,9 +135,7 @@ object ShortestPaths {
       walk = GraftSqlCompat.truncatePlan(next)
     }
     forest.unpersist(false)
-    val out = withPred.join(walk.select("id", "path"), "id")
-      .select("id", "dist", "pred", "path")
-    out
+    walk
   }
 
   /** Shared driver-local machinery: collect the weighted oriented edge
@@ -339,25 +348,27 @@ object ShortestPaths {
     edges.unpersist(false)
     val costOpt = settled.filter(col("id") === target).collect()
       .headOption.map(_.getDouble(1))
-    // walk the single target chain: one pushed-down point lookup per hop —
-    // O(path length) driver memory, never the whole forest
-    val chain = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var curOpt: Option[Long] = costOpt.map(_ => target)
-    var hops = 0
-    while (curOpt.isDefined && hops <= maxRounds) {
-      hops += 1
-      val cur = curOpt.get
-      chain.prepend(cur)
-      curOpt =
-        if (cur == source) None
-        else preds.filter(col("id") === cur).collect().headOption.map(_.getLong(1))
-    }
+    // walk the single target chain with the shared batched walk (8 hops per
+    // driver action) — O(path length) driver memory, never the whole forest
+    val chain: Seq[Long] =
+      if (costOpt.isEmpty) Seq.empty
+      else {
+        val start = settled.filter(col("id") === target)
+          .select(col("id"), col("id").as("cur"), array(col("id")).as("path"))
+        walkPreds(
+          preds.select(col("id"),
+            when(col("id") === source, lit(null).cast("long"))
+              .otherwise(col("pred")).as("pred")),
+          start, source, maxRounds, parts)
+          .select("path")
+          .collect().headOption.map(_.getSeq[Long](0)).getOrElse(Seq.empty)
+      }
     settled.unpersist(false)
     preds.unpersist(false)
     import spark.implicits._
     costOpt match {
       case Some(c) if chain.headOption.contains(source) =>
-        Seq((source, target, c, chain.toSeq))
+        Seq((source, target, c, chain))
           .toDF("sourceNode", "targetNode", "totalCost", "nodeIds")
       case _ =>
         Seq.empty[(Long, Long, Double, Seq[Long])]
@@ -532,11 +543,28 @@ object ShortestPaths {
       dijkstra(g, source, target, Orientation.Natural, maxRounds)
         .collect().headOption.map(r => (r.getDouble(2), r.getSeq[Long](3)))
 
+    // Min edge weights along accepted paths, fetched ONE aggregation job per
+    // newly-accepted path (consecutive pairs only — O(|path|) driver memory)
+    // instead of one driver job per root-prefix edge per spur (round 2 ran
+    // O(k·|path|²) synchronized point queries here).
+    val minW = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+    def cachePathWeights(path: Seq[Long]): Unit = {
+      val missing = path.zip(path.tail).distinct.filterNot(minW.contains)
+      if (missing.nonEmpty) {
+        val pred = missing.map { case (a, b) =>
+          col("src") === a && col("dst") === b }.reduce(_ || _)
+        base.filter(pred).groupBy("src", "dst").agg(min("weight").as("w"))
+          .collect().foreach { r =>
+            minW((r.getLong(0), r.getLong(1))) = r.getDouble(2)
+          }
+      }
+    }
+
     val accepted = scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[Long])]
     val candidates = scala.collection.mutable.SortedSet.empty[(Double, Seq[Long])](
       Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Implicits.seqOrdering[Seq, Long]))
 
-    pathOf(baseGraph).foreach(accepted += _)
+    pathOf(baseGraph).foreach { p => cachePathWeights(p._2); accepted += p }
     var exhausted = accepted.isEmpty
     while (!exhausted && accepted.size < k) {
       val (_, prevPath) = accepted.last
@@ -565,11 +593,10 @@ object ShortestPaths {
           .collect().headOption.foreach { r =>
             val spurCost = r.getDouble(2)
             val spurPath = r.getSeq[Long](3)
-            val rootCost = rootPath.indices.dropRight(1).map { j =>
-              // cost of edge rootPath(j) -> rootPath(j+1): min weight edge
-              base.filter(col("src") === rootPath(j) && col("dst") === rootPath(j + 1))
-                .agg(min("weight")).first().getDouble(0)
-            }.sum
+            // rootPath is a prefix of an accepted path, so every consecutive
+            // pair's min weight is already in the driver-side cache.
+            val rootCost = rootPath.indices.dropRight(1)
+              .map(j => minW((rootPath(j), rootPath(j + 1)))).sum
             val full = (rootCost + spurCost, rootPath.dropRight(1) ++ spurPath)
             if (!accepted.exists(_._2 == full._2)) candidates += full
           }
@@ -578,6 +605,7 @@ object ShortestPaths {
       else {
         val best = candidates.head
         candidates -= best
+        cachePathWeights(best._2)
         accepted += best
       }
     }

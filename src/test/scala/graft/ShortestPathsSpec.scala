@@ -109,4 +109,35 @@ class ShortestPathsSpec extends AnyFunSuite with SparkTestBase {
     assert(r(1) == ((5.0, Seq(0L, 2L, 3L))))
     assert(r(2) == ((6.0, Seq(0L, 1L, 3L))))
   }
+
+  test("yens distributed spur loop matches local, without per-edge driver jobs") {
+    val rnd = new scala.util.Random(13L)
+    val es  = (0L until 29L).map(i => (i, i + 1, (rnd.nextInt(5) + 1).toDouble)) ++
+      Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong,
+        (rnd.nextInt(9) + 1).toDouble))
+    val rg = weightedGraphOf(30, es)
+    def run(t: Long) = ShortestPaths.yens(rg, 0L, 29L, k = 4, localSolveThreshold = t)
+      .collect().map(x => (x.getDouble(1), x.getSeq[Long](2))).toSeq
+    val local = run(Long.MaxValue)
+    // count driver jobs during the forced-distributed run: the rootCost
+    // lookups must be one aggregation per ACCEPTED path, not one job per
+    // root-prefix edge per spur (round 2 ran O(k·|path|²) point queries)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val dist = try run(-1L) finally {
+      Thread.sleep(500) // let queued job-start events drain
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(dist == local)
+    // ~20 spur relaxations x (loop jobs + pred/walk jobs) + k weight-cache
+    // jobs land well under this; the per-edge version adds |path|² more per
+    // spur and blows past it
+    val pathEdges = local.map(_._2.length - 1).sum
+    assert(jobs.get() < 60 * pathEdges,
+      s"driver job count ${jobs.get()} suggests per-edge point queries returned")
+  }
 }
