@@ -54,9 +54,23 @@ object BucketedGraphStore {
     PropertyGraph(spark.table(vt), spark.table(et))
   }
 
+  /** Drop both tables AND their data files. saveAsTable with an explicit
+    * path creates EXTERNAL tables, so DROP TABLE alone leaves every data
+    * file on disk — the store owns its directory, so it deletes the table
+    * locations too. */
   def drop(spark: SparkSession, name: String): Unit = {
     val (vt, et) = tableNames(name)
-    spark.sql(s"DROP TABLE IF EXISTS $vt")
-    spark.sql(s"DROP TABLE IF EXISTS $et")
+    for (t <- Seq(vt, et)) {
+      val loc =
+        try {
+          val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+          if (spark.sessionState.catalog.tableExists(ident))
+            Some(spark.sessionState.catalog.getTableMetadata(ident).location)
+          else None
+        } catch { case _: Exception => None }
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      loc.foreach(u =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(u.getPath)): Unit)
+    }
   }
 }

@@ -41,9 +41,15 @@ object GraphGenerate {
   final case class RandomLong(name: String, min: Long, max: Long) extends PropertyProducer
   final case class RandomEmbedding(name: String, dim: Int) extends PropertyProducer
 
-  /** Uniform (0, 1] double from a 64-bit hash column. */
+  /** Uniform (0, 1] double from a 64-bit hash column — used where a zero
+    * draw would be unsafe (Box-Muller's log). */
   private def unit(h: Column): Column =
     (shiftrightunsigned(h, 11) + lit(1L)).cast("double") / lit(9007199254740992.0)
+
+  /** Uniform [0, 1) double — java.util.Random.nextDouble's range, so
+    * RandomDouble spans [min, max) exactly like the reference producer. */
+  private def unitCO(h: Column): Column =
+    shiftrightunsigned(h, 11).cast("double") / lit(9007199254740992.0)
 
   /** Gaussian sample via Box-Muller over two hash draws, rounded and
     * clamped to [0, nodeCount] (reference DistributionHelper.gaussianSample). */
@@ -93,18 +99,22 @@ object GraphGenerate {
   def graph(spark: SparkSession, nodeCount: Long, averageDegree: Long,
             distribution: Distribution, seed: Long = 42L,
             properties: Seq[PropertyProducer] = Seq.empty): PropertyGraph = {
+    // The property NAME is mixed into every hash: the reference draws each
+    // property independently from its shared seeded Random, so two producers
+    // of the same type on one graph must not be affine transforms of the
+    // same underlying draw.
     val verts = properties.foldLeft(spark.range(nodeCount).toDF("id")) { (df, p) =>
-      val h = (tag: Long) => xxhash64(lit(seed), lit(100L + tag), col("id"))
+      def h(tag: Long, extra: Column*): Column =
+        xxhash64(Seq(lit(seed), lit(100L + tag), lit(p.name), col("id")) ++ extra: _*)
       p match {
         case FixedDouble(nm, v)      => df.withColumn(nm, lit(v))
         case RandomDouble(nm, a, b)  =>
-          df.withColumn(nm, lit(a) + unit(h(1)) * lit(b - a))
+          df.withColumn(nm, lit(a) + unitCO(h(1)) * lit(b - a))
         case RandomLong(nm, a, b)    =>
-          df.withColumn(nm, lit(a) + pmod(xxhash64(lit(seed), lit(102L), col("id")),
-            lit(math.max(1L, b - a))))
+          df.withColumn(nm, lit(a) + pmod(h(2), lit(math.max(1L, b - a))))
         case RandomEmbedding(nm, dim) =>
           df.withColumn(nm, transform(sequence(lit(0), lit(dim - 1)),
-            d => unit(xxhash64(lit(seed), lit(103L), col("id"), d)) * lit(2.0) - lit(1.0)))
+            d => unitCO(h(3, d)) * lit(2.0) - lit(1.0)))
       }
     }
     PropertyGraph(verts, edges(spark, nodeCount, averageDegree, distribution, seed))

@@ -40,10 +40,13 @@ object SnapshotStore {
     // this snapshot owns, with its byte size, recorded alongside the
     // caller's metrics — enough to audit partition balance per iteration
     // and to resume/validate without listing the directory.
-    val partFiles = Files.list(Paths.get(dataPath)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .map(p => s"${p.getFileName}:${Files.size(p)}")
-      .toSeq.sorted
+    val listing = Files.list(Paths.get(dataPath))
+    val partFiles =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .map(p => s"${p.getFileName}:${Files.size(p)}")
+        .toSeq.sorted
+      finally listing.close() // Files.list holds a directory FD until closed
     val lineage = Map(
       "numFiles"   -> partFiles.size.toString,
       "totalBytes" -> partFiles.map(_.split(':').last.toLong).sum.toString,
@@ -60,10 +63,12 @@ object SnapshotStore {
   def snapshots(dir: String): Seq[Snapshot] = {
     val d = snapDir(dir)
     if (!Files.isDirectory(d)) return Seq.empty
-    Files.list(d).iterator().asScala
+    val listing = Files.list(d)
+    try listing.iterator().asScala
       .filter(p => p.getFileName.toString.matches("v\\d+\\.json"))
       .map(p => parseManifest(Files.readString(p)))
       .toSeq.sortBy(_.version)
+    finally listing.close()
   }
 
   def latest(dir: String): Option[Snapshot] = snapshots(dir).lastOption

@@ -196,7 +196,7 @@ object Ann {
     val spark = corpus.sparkSession
     for (_ <- 1 to lloydIters) {
       // Lloyd update: per-cell mean, computed dimension-wise (explode ->
-      // partial-agg avg -> re-assemble); the collected result is nlist rows
+      // partial-agg avg -> re-assemble); the collected result is <= nlist rows
       val means = assign(c, "neighbor_id", "cv")
         .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(avg("x").as("m"))
@@ -204,7 +204,18 @@ object Ann {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("centroid"))
         .collect()
-      centroids = means.map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // Spherical update for the cosine objective: L2-normalize each per-cell
+      // mean; a cell emptied during refinement (or whose mean collapses to 0)
+      // KEEPS its previous centroid, so the effective nlist never shrinks.
+      centroids = centroids.map { case (cell, prev) =>
+        means.get(cell) match {
+          case Some(m) =>
+            val n = math.sqrt(m.map(x => x * x).sum)
+            (cell, if (n > 0.0) m.map(_ / n) else prev)
+          case None => (cell, prev)
+        }
+      }
     }
 
     val cells  = assign(c, "neighbor_id", "cv")
