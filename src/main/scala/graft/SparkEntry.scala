@@ -256,6 +256,129 @@ object SparkEntry {
        |        JOIN canon e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)""".stripMargin
 
   // ------------------------------------------------------------------
+  // Shared query bodies — each is run twice: once with the production
+  // threshold (small graphs take the driver-local tail) and once as a
+  // `_dist` variant with threshold -1, forcing the at-scale DISTRIBUTED
+  // plan under the same independent driver oracle (VERDICT r2 item 3).
+  // ------------------------------------------------------------------
+
+  /** Dense graph with the deterministic 1..5 weight used by the weighted
+    * path-query family (matches the `wseed` arithmetic in the oracles). */
+  private def weightedDense(s: SparkSession, dir: String): PropertyGraph = {
+    val g = denseGraph(s, dir)
+    g.copy(edges = g.edges.withColumn("weight",
+      (pmod(col("src") * 31 + col("dst"), lit(5)) + 1).cast("double")))
+  }
+
+  private def dijkstraQuery(s: SparkSession, dir: String, tail: Long): DataFrame =
+    // single-source Dijkstra with canonical predecessors + full paths;
+    // the path is emitted as a string so the driver compare can hash it
+    ShortestPaths.dijkstraSingleSource(weightedDense(s, dir), source = 0L,
+        localTailThreshold = tail)
+      .select(col("id"), graft.core.Num.roundTo(col("dist"), 6).as("dist"),
+        col("pred"), concat_ws("->", col("path")).as("path_str"))
+      .orderBy("id")
+
+  private def astarQuery(s: SparkSession, dir: String, tail: Long): DataFrame =
+    // A* with the haversine heuristic over grid coordinates; the tiny
+    // radius keeps h < 1 = min edge weight (admissible), so the cost must
+    // equal the Dijkstra distance the unrolled-relaxation oracle computes.
+    ShortestPaths.astar(gridGraph(s, dir), source = 0L, target = 13L,
+        radius = 0.001, localTailThreshold = tail)
+      .select(col("sourceNode"), col("targetNode"),
+        graft.core.Num.roundTo(col("totalCost"), 6).as("totalCost"))
+
+  /** Yen's K shortest loopless paths: structural validity (every path
+    * walks real edges whose min-weights sum to its cost, loopless, costs
+    * nondecreasing) + the first path's cost replayed exactly by the
+    * unrolled-relaxation oracle. */
+  private def yensQuery(s: SparkSession, dir: String, localSolve: Long): DataFrame = {
+    val g = gridGraph(s, dir)
+    val paths = ShortestPaths.yens(g, source = 0L, target = 13L, k = 3,
+      localSolveThreshold = localSolve).persist()
+    val minW = GraphOps.withWeight(g.edges).groupBy("src", "dst").agg(min("weight").as("w"))
+    val steps = paths.select(col("index"), posexplode(col("nodeIds")))
+      .withColumnRenamed("col", "node")
+    val trans = steps.join(steps.select(col("index"), (col("pos") - 1).as("pos"),
+        col("node").as("next")), Seq("index", "pos"))
+    val wEdges = minW.withColumnRenamed("src", "node").withColumnRenamed("dst", "next")
+    val badEdges = trans.join(wEdges, Seq("node", "next"), "left_anti").count()
+    val costMismatch = trans.join(wEdges, Seq("node", "next"))
+      .groupBy("index").agg(sum("w").as("wsum"))
+      .join(paths, "index")
+      .filter(abs(col("wsum") - col("totalCost")) > 1e-9).count()
+    val loops = steps.groupBy("index", "node").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count()
+    val costs = paths.orderBy("index").select("totalCost").collect().map(_.getDouble(0))
+    val nondec = costs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
+    val first = math.floor(costs.head * 1e6 + 0.5 + 1e-6) / 1e6
+    paths.unpersist(false)
+    val spark = s; import spark.implicits._
+    Seq((costs.length.toLong, nondec, badEdges, costMismatch, loops, first))
+      .toDF("paths", "costs_nondecreasing", "bad_edges", "cost_mismatch",
+        "loops", "first_cost")
+  }
+
+  private def sccQuery(s: SparkSession, dir: String, localSolve: Long): DataFrame = {
+    val o = table(s, dir, "orders")
+    val edges = o.filter(col("o_orderkey") % 9 === 0)
+      .select((col("o_orderkey") % 400).as("src"),
+              ((col("o_orderkey") * 13 + col("o_custkey") * 7) % 400).as("dst"))
+    Scc.run(PropertyGraph(GraphOps.verticesOf(edges), edges),
+      localSolveThreshold = localSolve).orderBy("id")
+  }
+
+  private def louvainL1Query(s: SparkSession, dir: String, tail: Long): DataFrame =
+    // One synchronous local-move round from singletons (maxLevels=1,
+    // maxInner=1, FullSync) — deterministic AND SQL-replayable: the oracle
+    // recomputes the exact argmax_C [w(i,C) - k_i*tot_C/2m] move (all
+    // arithmetic on integer-valued doubles, so cross-engine bit-identical).
+    Louvain.run(denseGraph(s, dir), LouvainConfig(
+      maxLevels = 1, maxInnerIterations = 1, schedule = Schedule.FullSync,
+      localTailThreshold = tail)).communities.orderBy("id")
+
+  private def betweennessQuery(s: SparkSession, dir: String, tail: Long): DataFrame =
+    MsBfs.betweenness(denseGraph(s, dir), orientation = Orientation.Undirected,
+        localTailThreshold = tail)
+      .select(col("id"), graft.core.Num.roundTo(col("centrality"), 6).as("centrality"))
+      .orderBy("id")
+
+  private def closenessQuery(s: SparkSession, dir: String, tail: Long): DataFrame =
+    MsBfs.closeness(denseGraph(s, dir), localTailThreshold = tail)
+      .select(col("id"), graft.core.Num.roundTo(col("centrality"), 6).as("centrality"))
+      .orderBy("id")
+
+  /** NN-descent recall vs the (oracle-verified, see q_ann_topk) exact
+    * brute-force top-k: >= 0.9 per the reference's quality bar. The
+    * NN-descent run is deterministic (hash-seeded init), so this is a
+    * stable validity projection; the recall value itself is not
+    * SQL-replayable (hash-driven exploration).
+    * The synthetic embeddings are uniform-random (max off-diagonal cosine
+    * ~0.52) — NN-descent's adversarial regime, where neighbor-of-neighbor
+    * transitivity carries no signal. The standard remedy is list
+    * over-provisioning: search with internal k=20 lists, report top-5
+    * (recall@5 = 0.998 at sf0.001; clustered real-world embeddings reach
+    * ~1.0 without over-provisioning, see KnnSpec).
+    * 4 rounds x 16 random joins beats 8 x 8 here: same total candidate
+    * volume, half the per-round fixed shuffle cost, recall 0.947/0.998
+    * at sf0.1/sf0.01 (graft.tools.KnnRecallProbe sweep). */
+  private def knnQuery(s: SparkSession, dir: String, tail: Long): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    val k = 5
+    val approx = Knn.run(e,
+      Knn.KnnConfig(k = 20, maxIterations = 4, randomJoins = 16,
+        localTailThreshold = tail)).neighbors
+    val exact = Ann.bruteForceTopK(e, e, k = k)
+      .select(col("query_id").as("id"), col("neighbor_id"))
+    val n = e.count()
+    val matched = approx.filter(col("rank") <= k).select("id", "neighbor_id")
+      .join(exact, Seq("id", "neighbor_id"), "left_semi").count()
+    val spark = s; import spark.implicits._
+    Seq((n, matched.toDouble / (n * k).toDouble >= 0.9))
+      .toDF("nodes", "recall_ok")
+  }
+
+  // ------------------------------------------------------------------
   // Queries: one per implemented operator (SURVEY.md §2)
   // ------------------------------------------------------------------
 
@@ -293,14 +416,7 @@ object SparkEntry {
     "q_labelprop" -> ((s, dir) =>
       LabelPropagation.run(denseGraph(s, dir),
         LpConfig(maxIterations = 2, schedule = Schedule.FullSync)).labels.orderBy("id")),
-    "q_louvain_l1" -> ((s, dir) =>
-      // One synchronous local-move round from singletons (maxLevels=1,
-      // maxInner=1, FullSync) — deterministic AND SQL-replayable: the oracle
-      // recomputes the exact argmax_C [w(i,C) - k_i*tot_C/2m] move (all
-      // arithmetic on integer-valued doubles, so cross-engine bit-identical).
-      Louvain.run(denseGraph(s, dir), LouvainConfig(
-        maxLevels = 1, maxInnerIterations = 1, schedule = Schedule.FullSync))
-        .communities.orderBy("id")),
+    "q_louvain_l1" -> ((s, dir) => louvainL1Query(s, dir, tail = 500000L)),
     "q_louvain" -> ((s, dir) => {
       // invariant projection of the full multi-level run: assignment covers
       // every node, and the found partition's modularity strictly beats the
@@ -410,36 +526,14 @@ object SparkEntry {
       Seq((invalid, nWalks, full))
         .toDF("invalid_transitions", "walks", "complete_walks")
     }),
-    "q_dijkstra" -> ((s, dir) => {
-      // single-source Dijkstra with canonical predecessors + full paths;
-      // the path is emitted as a string so the driver compare can hash it
-      val g = denseGraph(s, dir)
-      val weighted = g.copy(edges = g.edges
-        .withColumn("weight", (pmod(col("src") * 31 + col("dst"), lit(5)) + 1).cast("double")))
-      ShortestPaths.dijkstraSingleSource(weighted, source = 0L)
-        .select(col("id"), graft.core.Num.roundTo(col("dist"), 6).as("dist"),
-          col("pred"), concat_ws("->", col("path")).as("path_str"))
-        .orderBy("id")
-    }),
-    "q_betweenness" -> ((s, dir) =>
-      MsBfs.betweenness(denseGraph(s, dir), orientation = Orientation.Undirected)
-        .select(col("id"), graft.core.Num.roundTo(col("centrality"), 6).as("centrality"))
-        .orderBy("id")),
-    "q_closeness" -> ((s, dir) =>
-      MsBfs.closeness(denseGraph(s, dir))
-        .select(col("id"), graft.core.Num.roundTo(col("centrality"), 6).as("centrality"))
-        .orderBy("id")),
+    "q_dijkstra" -> ((s, dir) => dijkstraQuery(s, dir, tail = 500000L)),
+    "q_betweenness" -> ((s, dir) => betweennessQuery(s, dir, tail = 500000L)),
+    "q_closeness" -> ((s, dir) => closenessQuery(s, dir, tail = 500000L)),
     "q_harmonic" -> ((s, dir) =>
       MsBfs.harmonic(denseGraph(s, dir))
         .select(col("id"), graft.core.Num.roundTo(col("centrality"), 6).as("centrality"))
         .orderBy("id")),
-    "q_scc" -> ((s, dir) => {
-      val o = table(s, dir, "orders")
-      val edges = o.filter(col("o_orderkey") % 9 === 0)
-        .select((col("o_orderkey") % 400).as("src"),
-                ((col("o_orderkey") * 13 + col("o_custkey") * 7) % 400).as("dst"))
-      Scc.run(PropertyGraph(GraphOps.verticesOf(edges), edges)).orderBy("id")
-    }),
+    "q_scc" -> ((s, dir) => sccQuery(s, dir, localSolve = 50000L)),
     "q_dfs" -> ((s, dir) => {
       // validity projection: DFS visits exactly the reachable set, starting
       // at the source (the preorder itself is stack-order and not
@@ -749,34 +843,7 @@ object SparkEntry {
         .toDF("invalid_transitions", "walks", "bad_dims", "non_finite",
           "missing_embeddings")
     }),
-    "q_knn" -> ((s, dir) => {
-      // NN-descent recall vs the (oracle-verified, see q_ann_topk) exact
-      // brute-force top-k: >= 0.9 per the reference's quality bar. The
-      // NN-descent run is deterministic (hash-seeded init), so this is a
-      // stable validity projection; the recall value itself is not
-      // SQL-replayable (hash-driven exploration).
-      // the synthetic embeddings are uniform-random (max off-diagonal cosine
-      // ~0.52) — NN-descent's adversarial regime, where neighbor-of-neighbor
-      // transitivity carries no signal. The standard remedy is list
-      // over-provisioning: search with internal k=20 lists, report top-5
-      // (recall@5 = 0.998 at sf0.001; clustered real-world embeddings reach
-      // ~1.0 without over-provisioning, see KnnSpec).
-      // 4 rounds x 16 random joins beats 8 x 8 here: same total candidate
-      // volume, half the per-round fixed shuffle cost, recall 0.947/0.998
-      // at sf0.1/sf0.01 (graft.tools.KnnRecallProbe sweep)
-      val e = table(s, dir, "embeddings")
-      val k = 5
-      val approx = Knn.run(e,
-        Knn.KnnConfig(k = 20, maxIterations = 4, randomJoins = 16)).neighbors
-      val exact = Ann.bruteForceTopK(e, e, k = k)
-        .select(col("query_id").as("id"), col("neighbor_id"))
-      val n = e.count()
-      val matched = approx.filter(col("rank") <= k).select("id", "neighbor_id")
-        .join(exact, Seq("id", "neighbor_id"), "left_semi").count()
-      val spark = s; import spark.implicits._
-      Seq((n, matched.toDouble / (n * k).toDouble >= 0.9))
-        .toDF("nodes", "recall_ok")
-    }),
+    "q_knn" -> ((s, dir) => knnQuery(s, dir, tail = 25000L)),
     "q_lsh_topk" -> ((s, dir) => {
       // planted-copy recall check: queries are exact copies of vectors 0..4
       // under new ids; identical vectors share every LSH bucket, so top-1
@@ -1199,43 +1266,23 @@ object SparkEntry {
       Seq((e.nodeCount, e.relationshipCount, e.bytesMin, e.bytesMax))
         .toDF("node_count", "relationship_count", "bytes_min", "bytes_max")
     }),
-    "q_astar" -> ((s, dir) => {
-      // A* with the haversine heuristic over grid coordinates; the tiny
-      // radius keeps h < 1 = min edge weight (admissible), so the cost must
-      // equal the Dijkstra distance the unrolled-relaxation oracle computes.
-      ShortestPaths.astar(gridGraph(s, dir), source = 0L, target = 13L, radius = 0.001)
-        .select(col("sourceNode"), col("targetNode"),
-          graft.core.Num.roundTo(col("totalCost"), 6).as("totalCost"))
-    }),
-    "q_yens" -> ((s, dir) => {
-      // Yen's K shortest loopless paths: structural validity (every path
-      // walks real edges whose min-weights sum to its cost, loopless, costs
-      // nondecreasing) + the first path's cost replayed exactly by the
-      // unrolled-relaxation oracle.
-      val g = gridGraph(s, dir)
-      val paths = ShortestPaths.yens(g, source = 0L, target = 13L, k = 3).persist()
-      val minW = GraphOps.withWeight(g.edges).groupBy("src", "dst").agg(min("weight").as("w"))
-      val steps = paths.select(col("index"), posexplode(col("nodeIds")))
-        .withColumnRenamed("col", "node")
-      val trans = steps.join(steps.select(col("index"), (col("pos") - 1).as("pos"),
-          col("node").as("next")), Seq("index", "pos"))
-      val wEdges = minW.withColumnRenamed("src", "node").withColumnRenamed("dst", "next")
-      val badEdges = trans.join(wEdges, Seq("node", "next"), "left_anti").count()
-      val costMismatch = trans.join(wEdges, Seq("node", "next"))
-        .groupBy("index").agg(sum("w").as("wsum"))
-        .join(paths, "index")
-        .filter(abs(col("wsum") - col("totalCost")) > 1e-9).count()
-      val loops = steps.groupBy("index", "node").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).count()
-      val costs = paths.orderBy("index").select("totalCost").collect().map(_.getDouble(0))
-      val nondec = costs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
-      val first = math.floor(costs.head * 1e6 + 0.5 + 1e-6) / 1e6
-      paths.unpersist(false)
-      val spark = s; import spark.implicits._
-      Seq((costs.length.toLong, nondec, badEdges, costMismatch, loops, first))
-        .toDF("paths", "costs_nondecreasing", "bad_edges", "cost_mismatch",
-          "loops", "first_cost")
-    })
+    "q_astar" -> ((s, dir) => astarQuery(s, dir, tail = 500000L)),
+    "q_yens" -> ((s, dir) => yensQuery(s, dir, localSolve = 200000L)),
+
+    // --- forced-distributed variants (round 3) ---
+    // Same semantics and oracles as the base queries, but the local-tail
+    // threshold is disabled (-1) so the INDEPENDENT driver oracle verifies
+    // the distributed plans that run at scale, not just the driver-local
+    // tails the tiny test graphs would otherwise take (VERDICT r2 item 3;
+    // local==distributed parity is additionally unit-asserted per algo).
+    "q_dijkstra_dist" -> ((s, dir) => dijkstraQuery(s, dir, tail = -1L)),
+    "q_astar_dist" -> ((s, dir) => astarQuery(s, dir, tail = -1L)),
+    "q_yens_dist" -> ((s, dir) => yensQuery(s, dir, localSolve = -1L)),
+    "q_scc_dist" -> ((s, dir) => sccQuery(s, dir, localSolve = -1L)),
+    "q_louvain_l1_dist" -> ((s, dir) => louvainL1Query(s, dir, tail = -1L)),
+    "q_betweenness_dist" -> ((s, dir) => betweennessQuery(s, dir, tail = -1L)),
+    "q_closeness_dist" -> ((s, dir) => closenessQuery(s, dir, tail = -1L)),
+    "q_knn_dist" -> ((s, dir) => knnQuery(s, dir, tail = -1L))
   )
 
   /** Path 1->2->...->n (weights 1..7) + chords (weights >= 10) over
@@ -1301,7 +1348,15 @@ object SparkEntry {
   // DuckDB oracles
   // ------------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  /** Queries whose `_dist` (forced-distributed) variant reuses the base
+    * oracle verbatim — same input graph, same output contract. */
+  private val DistVariantKeys = Seq("q_dijkstra", "q_astar", "q_yens",
+    "q_scc", "q_louvain_l1", "q_betweenness", "q_closeness", "q_knn")
+
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ DistVariantKeys.map(k => s"${k}_dist" -> baseOracleSql(k))
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, floor(sum(l_quantity) * 100.0 + 0.5 + 0.000001) / 100.0 AS sum_qty,
         |floor(sum(l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5 + 0.000001) / 100.0 AS revenue, count(*) AS n
