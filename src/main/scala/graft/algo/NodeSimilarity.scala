@@ -24,7 +24,18 @@ final case class NodeSimilarityConfig(
   degreeCutoff: Long = 1L,
   similarityCutoff: Double = 1e-42,
   topK: Int = 10,
-  topN: Int = 0)
+  topN: Int = 0,
+  /** Scale guard (graft extension, off by default = exact reference
+    * semantics): cap on the in-degree of a shared-neighbor TARGET in the
+    * pair-generating self-join. A target with in-degree d contributes
+    * d·(d−1) candidate pairs, so one 10M-in-degree hub alone would emit
+    * 10^14 pairs; with the cap, each hub contributes at most cap·(cap−1).
+    * The kept in-neighbors are a deterministic hash-ordered sample
+    * (xxhash64(src,dst)), so results are stable across runs/partitionings.
+    * Approximation: intersections through capped hubs are undercounted
+    * (similarity is underestimated, never overestimated — set sizes stay
+    * exact); pairs that only share capped-out hub edges can be missed. */
+  maxNeighborsPerTarget: Int = 0)
 
 /** Node Similarity (reference: algo/src/main/java/org/neo4j/gds/similarity/
   * nodesim/NodeSimilarity.java): pairwise Jaccard/Overlap of out-neighbor
@@ -54,9 +65,21 @@ object NodeSimilarity {
 
     val filtered = edges.join(degrees.select("src"), "src")
 
+    // Hub-target fan-out guard: bound the quadratic per-target pair blowup
+    // BEFORE the self-join. Degrees/wsums above are computed pre-cap, so
+    // set sizes stay exact and capping only undercounts intersections.
+    // One window shuffle (dst-partitioned); sorting a hub's in-edges in one
+    // task is linear-log — vs the d² pair fan-out it prevents.
+    val pairSide =
+      if (cfg.maxNeighborsPerTarget > 0) {
+        val w = Window.partitionBy("dst").orderBy(xxhash64(col("src"), col("dst")))
+        filtered.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= cfg.maxNeighborsPerTarget).drop("__rk")
+      } else filtered
+
     // Pairs sharing at least one neighbor + their intersection weight.
-    val a = filtered.select(col("src").as("n1"), col("dst"), col("weight").as("w1"))
-    val b = filtered.select(col("src").as("n2"), col("dst"), col("weight").as("w2"))
+    val a = pairSide.select(col("src").as("n1"), col("dst"), col("weight").as("w1"))
+    val b = pairSide.select(col("src").as("n2"), col("dst"), col("weight").as("w2"))
     val interCol =
       if (cfg.weighted) sum(least(col("w1"), col("w2")))
       else count(lit(1)).cast("double")

@@ -73,6 +73,33 @@ class NodeSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got == exp, s"got $got")
   }
 
+  test("maxNeighborsPerTarget: exact when cap >= max in-degree, bounded fan-out below it") {
+    // Cap above every target's in-degree (i1/i2/i3 have <= 3 likers) must
+    // reproduce the uncapped reference result exactly.
+    val uncapped = collect(NodeSimilarity.run(graph,
+      NodeSimilarityConfig(similarityCutoff = 0.0, topK = 10)))
+    val atCap = collect(NodeSimilarity.run(graph,
+      NodeSimilarityConfig(similarityCutoff = 0.0, topK = 10, maxNeighborsPerTarget = 3)))
+    assert(atCap == uncapped)
+
+    // Hub graph: 40 sources all pointing at one hub target plus one private
+    // target each. cap=4 bounds candidate pairs through the hub to 4*3=12
+    // (vs 40*39=1560); similarity only ever UNDERestimated, sizes exact.
+    val hubEdges = (0L until 40L).flatMap(s => Seq((s, 1000L, 1.0), (s, 2000L + s, 1.0)))
+    val hubGraph = weightedGraphOf(2041, hubEdges)
+    val capped = NodeSimilarity.run(hubGraph,
+      NodeSimilarityConfig(similarityCutoff = 1e-42, topK = 0, maxNeighborsPerTarget = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.nonEmpty && capped.length <= 12, s"fan-out not bounded: ${capped.length}")
+    // every surviving pair's true jaccard is 1/3 (share the hub out of 2+2 sets)
+    assert(capped.forall(p => math.abs(p._3 - 1.0 / 3.0) < 1e-9))
+    // deterministic: same hash-ordered sample on rerun
+    val rerun = NodeSimilarity.run(hubGraph,
+      NodeSimilarityConfig(similarityCutoff = 1e-42, topK = 0, maxNeighborsPerTarget = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.toSet == rerun.toSet)
+  }
+
   test("reverse orientation: items similar by their likers") {
     val got = collect(NodeSimilarity.run(graph,
       NodeSimilarityConfig(orientation = Orientation.Reverse, topK = 10)))
