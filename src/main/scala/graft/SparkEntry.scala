@@ -892,10 +892,11 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q_media_features" -> ((s, _) =>
-      // scalar digests of the embedding (sum/first, 4dp) — the raw
-      // array<float> is not hashable by the driver compare. Rows-only check:
-      // the stub codec's values aren't SQL-expressible; q_media_valid below
-      // carries the oracle-checked invariants.
+      // scalar digests of the embedding (sum/first) — the raw array<float>
+      // is not hashable by the driver compare. The stub codec is
+      // SQL-replayable (48-bit seed from the first 6 payload bytes → 31-bit
+      // LCG, see Multimodal.StubCodec), so the oracle recomputes dims and
+      // both digests from sha256("media<id>") independently.
       Multimodal.extractFeatures(Multimodal.decodeImages(Multimodal.synthMedia(s, 200)))
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           col("channels"),
@@ -1208,6 +1209,55 @@ object SparkEntry {
         .toDF("exists_after_create", "listed", "sub_vertices", "sub_edges",
           "acctbal_sum", "vertex_cols_after_remove", "edges_after_add",
           "sim_typed_edges", "edges_after_delete", "dropped")
+    }),
+    "q_model_catalog" -> ((s, dir) => {
+      // model-catalog lifecycle (gds.beta.model.list/exists/drop +
+      // gds.alpha.model.store/load): train the deterministic NC model from
+      // q_node_classification, register, store (SnapshotStore-backed atomic
+      // commit), drop, load back — the round-tripped model must carry
+      // identical parameters (doubles serialize losslessly) and predict
+      // identically on every node.
+      import graft.ml.{ModelCatalog, NodeClassification}
+      val gds = new graft.api.Gds(s)
+      ModelCatalog.drop("nc_test")
+      val g = mlGraph(s)
+      val m = NodeClassification.train(g, "emb", "cls")
+      gds.model.set("nc_test", m, Map("features" -> "emb"))
+      val existsAfterSet = gds.model.exists("nc_test")
+      val listed = gds.model.list().exists(i =>
+        i.name == "nc_test" && i.modelType == "NodeClassification" &&
+          i.meta.get("features").contains("emb"))
+      val before = NodeClassification.predict(g, "emb", m)
+      val d = java.nio.file.Files.createTempDirectory("graft-models").toString
+      try {
+        gds.model.store("nc_test", d)
+        val dropped = gds.model.drop("nc_test") && !gds.model.exists("nc_test")
+        val loadedInfo = gds.model.load("nc_test", d)
+        val loaded = gds.model.get[NodeClassification.NcModel]("nc_test")
+        val after = NodeClassification.predict(g, "emb", loaded)
+        val mismatches = before.withColumnRenamed("predictedClass", "a")
+          .join(after.withColumnRenamed("predictedClass", "b"), "id")
+          .filter(col("a") =!= col("b")).count()
+        val nodes = before.count()
+        val paramsOk = loadedInfo.modelType == "NodeClassification" &&
+          loaded.classes == m.classes &&
+          loaded.trainAccuracy == m.trainAccuracy &&
+          loaded.testAccuracy == m.testAccuracy &&
+          m.classes.forall(c =>
+            loaded.models(c).weights.sameElements(m.models(c).weights) &&
+              loaded.models(c).bias == m.models(c).bias)
+        gds.model.drop("nc_test")
+        val spark = s; import spark.implicits._
+        Seq((existsAfterSet, listed, dropped, nodes, mismatches, paramsOk))
+          .toDF("exists_after_set", "listed", "dropped", "nodes",
+            "predict_mismatches", "params_roundtrip_ok")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
     }),
     "q_csv_roundtrip" -> ((s, dir) => {
       // gds.beta.graph.export.csv + CSV restore: schema-sidecar roundtrip
@@ -1578,6 +1628,30 @@ object SparkEntry {
     "q_media_valid" ->
       """SELECT CAST(200 AS BIGINT) AS rows_total, CAST(0 AS BIGINT) AS bad_dims,
         |CAST(0 AS BIGINT) AS bad_embeddings""".stripMargin,
+    // Independent replay of the stub codec: payload = ASCII hex of
+    // sha256("media<id>"), seed = first 6 bytes big-endian (every term
+    // < 2^48, so double/ BIGINT arithmetic is exact), dims = seed mod
+    // bounds, embedding[i] = Park-Miller LCG over the 31-bit Mersenne
+    // prime rounded through REAL exactly like the engine's Array[Float].
+    "q_media_features" ->
+      s"""WITH m AS (
+         |  SELECT media_id,
+         |    CASE CAST(media_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    CAST(list_sum(list_transform(range(0,6), j ->
+         |      ascii(substr(sha256('media' || CAST(media_id AS VARCHAR)), CAST(j+1 AS INT), 1)) * power(256, 5-j))) AS BIGINT) AS seed
+         |  FROM range(0, 200) t(media_id)),
+         |f AS (
+         |  SELECT media_id, kind,
+         |    CAST(seed % 1920 + 1 AS INT) AS width,
+         |    CAST((seed >> 16) % 1080 + 1 AS INT) AS height,
+         |    CAST(3 AS INT) AS channels,
+         |    list_transform(range(0,64), i ->
+         |      CAST(CAST(CAST(((seed % 2147483647) * 48271 + i * 12345 + 6789) % 2147483647 AS DOUBLE) / 2147483647.0 AS REAL) AS DOUBLE)) AS emb
+         |  FROM m)
+         |SELECT media_id, kind, width, height, channels,
+         |  ${graft.core.Num.roundSql("list_sum(emb)", 4)} AS emb_sum,
+         |  ${graft.core.Num.roundSql("emb[1]", 6)} AS emb_first
+         |FROM f ORDER BY media_id""".stripMargin,
     "q_random_walks" ->
       s"""WITH edges AS ($DenseEdgesSql), $NodesSql
          |SELECT CAST(0 AS BIGINT) AS invalid_transitions,
@@ -1647,6 +1721,10 @@ object SparkEntry {
     "q_exec_mutate" -> ExecMutateSql,
     "q_exec_write" -> ExecWriteSql,
     "q_catalog" -> CatalogSql,
+    "q_model_catalog" ->
+      """SELECT true AS exists_after_set, true AS listed, true AS dropped,
+        |CAST(300 AS BIGINT) AS nodes, CAST(0 AS BIGINT) AS predict_mismatches,
+        |true AS params_roundtrip_ok""".stripMargin,
     "q_csv_roundtrip" -> RoundtripSql,
     "q_bucketed_roundtrip" -> RoundtripSql.replace("AS edge_checksum",
       "AS edge_checksum, CAST(0 AS BIGINT) AS agg_exchanges"),

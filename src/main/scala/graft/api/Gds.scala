@@ -102,6 +102,22 @@ final class Gds(val spark: SparkSession) {
       catalog.create(name, graft.io.BucketedGraphStore.load(spark, name))
   }
 
+  /** Model catalog surface (reference: `gds.beta.model.list/exists/drop`,
+    * `gds.alpha.model.store/load` — model-operation-references.adoc). */
+  object model {
+    import graft.ml.ModelCatalog
+    def set(name: String, m: AnyRef, meta: Map[String, String] = Map.empty): ModelCatalog.ModelInfo =
+      ModelCatalog.set(name, m, meta)
+    def list(): Seq[ModelCatalog.ModelInfo] = ModelCatalog.list()
+    def exists(name: String): Boolean       = ModelCatalog.exists(name)
+    def drop(name: String): Boolean         = ModelCatalog.drop(name)
+    def get[M <: AnyRef](name: String): M   = ModelCatalog.get[M](name)
+    def store(name: String, dir: String): graft.io.SnapshotStore.Snapshot =
+      ModelCatalog.store(spark, name, dir)
+    def load(name: String, dir: String): ModelCatalog.ModelInfo =
+      ModelCatalog.load(spark, name, dir)
+  }
+
   object pageRank {
     def stream(name: String, cfg: PageRankConfig = PageRankConfig()): DataFrame =
       PageRank.run(catalog.get(name), cfg).scores

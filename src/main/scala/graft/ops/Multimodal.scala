@@ -25,18 +25,35 @@ object Multimodal {
     StructField("meta", MapType(StringType, StringType), nullable = true)))
 
   /** Deterministic fake codec: all outputs are pure functions of the payload
-    * bytes. Replace with a real decoder (??? boundary) in production. */
+    * bytes. Replace with a real decoder (??? boundary) in production.
+    *
+    * The arithmetic is deliberately SQL-replayable so the driver's DuckDB
+    * oracle can verify the feature pipeline end-to-end (VERDICT r2 item 7):
+    * a 48-bit big-endian seed from the first 6 payload bytes feeds a
+    * Park-Miller LCG over the 31-bit Mersenne prime — every step stays
+    * below 2^47, so plain BIGINT arithmetic reproduces it in any engine
+    * (no 64-bit wraparound, which ANSI SQL cannot express). */
   object StubCodec {
+    val M31 = 2147483647L // 2^31 - 1
+
+    /** 48-bit big-endian seed from the first 6 payload bytes. */
+    def seedOf(bytes: Array[Byte]): Long =
+      if (bytes == null || bytes.isEmpty) 0L
+      else {
+        var s = 0L; var i = 0
+        while (i < math.min(6, bytes.length)) { s = (s << 8) | (bytes(i) & 0xffL); i += 1 }
+        s
+      }
+
     def imageDims(bytes: Array[Byte]): (Int, Int, Int) = {
       // REAL IMPL WOULD BE: ImageIO/libjpeg decode — unavailable offline.
-      val h = if (bytes == null) 0L else bytes.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
-      (math.abs(h % 1920).toInt + 1, math.abs((h >> 16) % 1080).toInt + 1, 3)
+      val s = seedOf(bytes)
+      ((s % 1920L).toInt + 1, ((s >> 16) % 1080L).toInt + 1, 3)
     }
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-      var h = if (bytes == null) 0L else bytes.foldLeft(-7046029254386353131L)((a, b) => (a ^ b) * 0x100000001b3L)
+      val s = seedOf(bytes) % M31
       Array.tabulate(dim) { i =>
-        h = h * 6364136223846793005L + 1442695040888963407L + i
-        ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
+        (((s * 48271L + i.toLong * 12345L + 6789L) % M31).toDouble / M31.toDouble).toFloat
       }
     }
   }
@@ -92,12 +109,16 @@ object Multimodal {
       .toDF("media_id", "frame_index", "frame_bytes")
   }
 
-  /** Deterministic synthetic media table for tests/benchmarks. */
-  def synthMedia(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame =
+  /** Deterministic synthetic media table for tests/benchmarks. Kind and
+    * payload are oracle-replayable: kind cycles by media_id % 3 and the
+    * payload is the ASCII hex of sha256("media<id>") — both computable in
+    * plain SQL, so the StubCodec outputs (pure functions of the first 6
+    * payload bytes) can be verified by an independent engine. */
+  def synthMedia(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(
       col("id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(xxhash64(lit(seed), col("id")), lit(3L)) + 1).cast("int")).as("kind"),
+        (pmod(col("id"), lit(3L)) + 1).cast("int")).as("kind"),
       sha2(concat(lit("media"), col("id").cast("string")), 256).cast("binary").as("bytes"),
       map(lit("source"), concat(lit("synth-"), pmod(col("id"), lit(7L)).cast("string"))).as("meta"))
 }
