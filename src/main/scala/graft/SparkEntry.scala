@@ -477,6 +477,31 @@ object SparkEntry {
       Paths.sssp(weighted, source = 0L)
         .select(col("id"), graft.core.Num.roundTo(col("dist"), 6).as("dist")).orderBy("id")
     }),
+    "q_pregel_sssp" -> ((s, dir) => {
+      // the PUBLIC Pregel extension API (user-computation surface, SURVEY
+      // §2.6) running SSSP written purely against Pregel()/withVertexColumn/
+      // sendMsgToDst/aggMsgs — same weighted graph and exact unrolled-
+      // relaxation oracle as q_sssp, so the facade's vote-to-halt loop is
+      // driver-verified end-to-end.
+      import graft.pregel.Pregel
+      val g = denseGraph(s, dir)
+      val weighted = g.copy(edges = g.edges
+        .withColumn("weight", (pmod(col("src") * 31 + col("dst"), lit(5)) + 1).cast("double")))
+      Pregel(weighted)
+        .withVertexColumn("dist",
+          init = when(col("id") === 0L, 0.0),
+          afterMsg = when(col("dist").isNull || Pregel.msg < col("dist"), Pregel.msg)
+            .otherwise(col("dist")))
+        .sendMsgToDst(when(Pregel.src("dist").isNotNull,
+          Pregel.src("dist") + Pregel.edge("weight")))
+        .aggMsgs(min(Pregel.msg))
+        .setMaxIterations(20)
+        .setFusedSteps(4)
+        .run()
+        .filter(col("dist").isNotNull)
+        .select(col("id"), graft.core.Num.roundTo(col("dist"), 6).as("dist"))
+        .orderBy("id")
+    }),
     "q_collapse_path" -> ((s, dir) => {
       val e = denseGraph(s, dir).edges
       Paths.collapsePath(Seq(e, e)).orderBy("src", "dst")
@@ -1476,6 +1501,9 @@ object SparkEntry {
       DenseEdgesSql.replace(" FROM orders", ", CAST((o_orderkey % 300) * 31 + ((o_orderkey * 7 + o_custkey) % 300) AS BIGINT) AS wseed FROM orders"),
       rounds = 20, maxSource = 20),
     "q_sssp" -> ssspSql(
+      DenseEdgesSql.replace(" FROM orders", ", CAST((o_orderkey % 300) * 31 + ((o_orderkey * 7 + o_custkey) % 300) AS BIGINT) AS wseed FROM orders"),
+      rounds = 14),
+    "q_pregel_sssp" -> ssspSql(
       DenseEdgesSql.replace(" FROM orders", ", CAST((o_orderkey % 300) * 31 + ((o_orderkey * 7 + o_custkey) % 300) AS BIGINT) AS wseed FROM orders"),
       rounds = 14),
     "q_collapse_path" ->
