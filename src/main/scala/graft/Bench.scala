@@ -71,6 +71,38 @@ object Bench {
         } catch { case _: Throwable => "" }
       } else ""
 
+    // Multi-JVM cross-check (BASELINE.md): the same job on REAL separate
+    // executor processes — local-cluster[1,1] vs local-cluster[4,1], i.e.
+    // 1 executor vs 4 executors with netty shuffle and cross-process
+    // serialization. Machine-visible here so regressions in the
+    // real-executor shape show up in the bench JSON, not only in prose.
+    // The in-process pair above stays the headline (see BASELINE.md for
+    // why the single-box multi-JVM ratio under-reads a real N->4N pair).
+    // Disabled with SPARK_GRAFT_SCALING_CLUSTER=0.
+    val scalingCluster =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1" &&
+          sys.env.getOrElse("SPARK_GRAFT_SCALING_CLUSTER", "1") == "1") {
+        val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "1000000").toLong
+        val reps   = sys.env.getOrElse("GRAFT_BENCH_CLUSTER_REPS", "2").toInt
+        val eLow   = sys.env.getOrElse("GRAFT_BENCH_CORES_LOW", "1").toInt
+        val eHigh  = sys.env.getOrElse("GRAFT_BENCH_CORES_HIGH", "4").toInt
+        try {
+          val runs = ScalingBench.pageRankClusterInterleaved(
+            Seq(eLow, eHigh), nPages, supersteps = 8, reps = reps)
+          if (runs.isEmpty) ""
+          else {
+            val (lo, hi) = (runs(eLow), runs(eHigh))
+            val eff = (lo.secs / hi.secs) / (eHigh.toDouble / eLow)
+            s""","pagerank_scaling_cluster":{"pages":$nPages,"edges":${lo.edges},""" +
+              s""""supersteps":8,"executors_low":$eLow,"secs_low":${"%.3f".format(lo.secs)},""" +
+              s""""eps_low":${"%.0f".format(lo.edgesPerSecPerSuperstep)},""" +
+              s""""executors_high":$eHigh,"secs_high":${"%.3f".format(hi.secs)},""" +
+              s""""eps_high":${"%.0f".format(hi.edgesPerSecPerSuperstep)},""" +
+              s""""scaling_efficiency":${"%.3f".format(eff)}}"""
+          }
+        } catch { case _: Throwable => "" }
+      } else ""
+
     // Query timings AFTER the scaling legs: the legs then see a clean JVM
     // (no heap/codegen-cache pollution from 50+ queries), matching how the
     // standalone ScalingBench measures.
@@ -97,6 +129,6 @@ object Bench {
     val total = results.map(_._2).sum
     spark.stop()
 
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling$scalingCluster}""")
   }
 }

@@ -24,18 +24,38 @@ object ScalingBench {
     def edgesPerSecPerSuperstep: Double = edges.toDouble * supersteps / secs
   }
 
-  private def session(cores: Int): SparkSession = {
+  /** Executor-side classes for local-cluster mode: GRAFT_JAR wins, else the
+    * compiled classes directory (always current after `sbt compile`; same
+    * box, so a directory entry is a valid executor classpath), else the
+    * sbt-packaged jar (may be stale — last resort). */
+  private[bench] def executorClasses: Option[String] = {
+    sys.env.get("GRAFT_JAR").orElse {
+      val classes = new java.io.File("target/scala-2.13/classes")
+      if (classes.isDirectory) Some(classes.getAbsolutePath) else None
+    }.orElse {
+      val dir = new java.io.File("target/scala-2.13")
+      Option(dir.listFiles()).flatMap(_.collectFirst {
+        case f if f.getName.endsWith(".jar") && !f.getName.endsWith("-tests.jar") =>
+          f.getAbsolutePath
+      })
+    }
+  }
+
+  private def session(cores: Int, forceCluster: Boolean = false,
+                      forceWorkerCores: Int = 0): SparkSession = {
     val localDir = sys.env.getOrElse("GRAFT_BENCH_LOCAL_DIR", "/dev/shm/spark-local")
-    // GRAFT_BENCH_CLUSTER=1 runs real multi-executor JVMs (local-cluster):
-    // cores/W workers x W cores (GRAFT_BENCH_WORKER_CORES, default 4) — the
-    // honest "N executors vs 4N executors" shape of the north rule; a single
-    // shared JVM otherwise (local[n]). W=1 with cores 1 vs 4 keeps both legs
-    // in this box's unthrottled memory-bandwidth regime while exercising
-    // genuinely separate executor JVMs (netty shuffle, cross-process
-    // serialization).
-    val cluster = sys.env.getOrElse("GRAFT_BENCH_CLUSTER", "0") == "1"
+    // GRAFT_BENCH_CLUSTER=1 (or forceCluster) runs real multi-executor JVMs
+    // (local-cluster): cores/W workers x W cores (GRAFT_BENCH_WORKER_CORES,
+    // default 4) — the honest "N executors vs 4N executors" shape of the
+    // north rule; a single shared JVM otherwise (local[n]). W=1 with cores
+    // 1 vs 4 keeps both legs in this box's unthrottled memory-bandwidth
+    // regime while exercising genuinely separate executor JVMs (netty
+    // shuffle, cross-process serialization).
+    val cluster = forceCluster || sys.env.getOrElse("GRAFT_BENCH_CLUSTER", "0") == "1"
     val workerMem = sys.env.getOrElse("GRAFT_BENCH_WORKER_MB", "12288")
-    val workerCores = sys.env.getOrElse("GRAFT_BENCH_WORKER_CORES", "4").toInt
+    val workerCores =
+      if (forceWorkerCores > 0) forceWorkerCores
+      else sys.env.getOrElse("GRAFT_BENCH_WORKER_CORES", "4").toInt
     val master =
       if (cluster) s"local-cluster[${math.max(1, cores / workerCores)},$workerCores,$workerMem]"
       else s"local[$cores]"
@@ -64,12 +84,14 @@ object ScalingBench {
     // /opt/spark. Passed via executorEnv/childEnv so the bench needs no
     // caller-side environment.
     val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
-    val withJar = sys.env.get("GRAFT_JAR") match {
-      case Some(jar) if cluster =>
-        builder.config("spark.jars", jar)
+    val withJar = executorClasses match {
+      case Some(cp) if cluster =>
+        val b = builder
           .config("spark.executor.memory", s"${workerMem}m")
           .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
           .config("spark.executorEnv.SPARK_HOME", sparkHome)
+        if (cp.endsWith(".jar")) b.config("spark.jars", cp)
+        else b.config("spark.executor.extraClassPath", cp)
       case _ => builder
     }
     val s = withJar.getOrCreate()
@@ -107,8 +129,9 @@ object ScalingBench {
 
   /** One session, one warm-up, one timed run. Returns (secs, edges). */
   private def oneTimedRun(cores: Int, nPages: Long, supersteps: Int,
-                          density: Double): (Double, Long) = {
-    val spark = session(cores)
+                          density: Double, forceCluster: Boolean = false,
+                          forceWorkerCores: Int = 0): (Double, Long) = {
+    val spark = session(cores, forceCluster, forceWorkerCores)
     try {
       val (graph, e) = benchGraph(spark, nPages, density)
       val cfg = benchConfig(supersteps)
@@ -161,6 +184,30 @@ object ScalingBench {
       if (!best.contains(c) || secs < best(c)) best(c) = secs
     }
     coresList.map(c => c -> RunStats(c, best(c), edges, supersteps)).toMap
+  }
+
+  /** Multi-JVM scaling pair (BASELINE.md "Multi-JVM cross-check", now
+    * machine-visible in the bench JSON): the SAME job on REAL separate
+    * executor processes — local-cluster[cLow,1,mem] vs
+    * local-cluster[cHigh,1,mem], i.e. literally cLow executors vs cHigh
+    * executors with netty shuffle and cross-process serialization.
+    * Interleaved reps, min per leg, fresh cluster per (executors, rep).
+    * Returns executors -> RunStats; empty if no executor classpath exists. */
+  def pageRankClusterInterleaved(executorsList: Seq[Int], nPages: Long,
+                                 supersteps: Int,
+                                 density: Double = 8.0,
+                                 reps: Int = 2): Map[Int, RunStats] = {
+    if (executorClasses.isEmpty) return Map.empty
+    var edges = 0L
+    val best = scala.collection.mutable.Map.empty[Int, Double]
+    for (rep <- 1 to reps; n <- executorsList) {
+      val (secs, e) = oneTimedRun(n, nPages, supersteps, density,
+        forceCluster = true, forceWorkerCores = 1)
+      edges = e
+      System.err.println(f"[scaling-cluster] executors=$n rep=$rep secs=$secs%.2f")
+      if (!best.contains(n) || secs < best(n)) best(n) = secs
+    }
+    executorsList.map(n => n -> RunStats(n, best(n), edges, supersteps)).toMap
   }
 
   /** Secondary metrics at one parallelism level. */
