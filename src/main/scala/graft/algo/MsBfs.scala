@@ -41,11 +41,20 @@ object MsBfs {
     val parts = spark.sessionState.conf.numShufflePartitions
     val e = edges.select("src", "dst").repartition(parts, col("src")).persist()
 
-    var visited = sources.select(col("id").as("s"), col("id"),
+    // The visited set is kept as a LAZY union of per-level caches: each
+    // level persists only its own frontier rows, and the dedup anti-join
+    // reads the earlier levels straight from cache. The round-2 shape
+    // re-materialized the whole accumulated set every level (acc.count()),
+    // i.e. O(depth) full copies of a growing table — on a diameter-D graph
+    // that is the dominant superstep cost. Here the full set is written
+    // exactly once, at the end.
+    val level0 = sources.select(col("id").as("s"), col("id"),
         lit(0).as("dist"), lit(1.0).as("sigma"))
       .repartition(parts, col("id")).persist()
-    visited.count()
-    var frontier = visited
+    level0.count()
+    var levels      = List(level0)
+    var visitedKeys = level0.select("s", "id")
+    var frontier: DataFrame = level0
     var depth    = 0
     var more     = true
     while (more && depth < maxDepth) {
@@ -54,23 +63,28 @@ object MsBfs {
         .select(col("s"), col("id").as("src"), col("sigma"))
         .join(e, "src")
         .groupBy(col("s"), col("dst").as("id")).agg(sum("sigma").as("sigma"))
-        .join(visited.select(col("s"), col("id")), Seq("s", "id"), "left_anti")
+        .join(visitedKeys, Seq("s", "id"), "left_anti")
         .select(col("s"), col("id"), lit(depth).as("dist"), col("sigma"))
         .repartition(parts, col("id"))
         .persist()
-      val reached = next.limit(1).count()
-      more = reached > 0
+      more = next.count() > 0
       if (more) {
-        val acc = GraftSqlCompat.truncatePlan(visited.unionByName(next)).persist()
-        acc.count()
-        visited.unpersist(false)
-        visited  = acc
-        frontier = GraftSqlCompat.truncatePlan(next)
-      }
-      next.unpersist(false)
+        val nt = GraftSqlCompat.truncatePlan(next)
+        levels    ::= nt
+        visitedKeys = visitedKeys.unionByName(nt.select("s", "id"))
+        frontier    = nt
+      } else next.unpersist(false)
     }
+    // One materialized copy of the full accumulation (keeps the contract:
+    // callers get a persisted, lineage-truncated result), then the
+    // per-level caches are released.
+    val out = GraftSqlCompat.truncatePlan(
+      levels.reverse.reduce(_ unionByName _)
+        .repartition(parts, col("id"))).persist()
+    out.count()
+    levels.foreach(_.unpersist(false))
     e.unpersist(false)
-    visited
+    out
   }
 
   /** All-pairs shortest-path distance stream (gds.alpha.allShortestPaths
