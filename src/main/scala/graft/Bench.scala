@@ -124,11 +124,34 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     spark.stop()
 
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling$scalingCluster}""")
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+
+    // Full per-query detail on its OWN line: the driver captures only the
+    // LAST 2000 chars of stdout (BENCH_r02's tail is exactly that window and
+    // also swallows sbt's ~75-char success footer), so the final contract
+    // line must stay comfortably under that budget (rounds 1-2 shipped one
+    // ~2.7k-char line and the driver recorded parsed=null both times). The
+    // detail line scrolls out of the tail; the machine-parsed line carries
+    // the total, a representative headline subset, and the north-rule
+    // scaling blocks.
+    println(s"""{"metric":"queries_full","unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}""")
+
+    val headline = Seq(
+      "q_pagerank", "q_wcc", "q_scc", "q_labelprop", "q_louvain",
+      "q_triangle_global", "q_betweenness", "q_hits", "q_node_similarity",
+      "q_knn", "q_dijkstra", "q_minhash_neardup", "q_simhash_neardup",
+      "q_dedup_exact", "q_ann_topk", "q_ivf_topk", "q_sessionize",
+      "q_events_window", "q_token_count", "q_fastrp", "q_node2vec",
+      "q_graphsage")
+    val byName = results.toMap
+    var picks = headline.flatMap(n => byName.get(n).map(n -> _))
+    def line(ps: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${toJson(ps)},"sf":"$sfDir"$scaling$scalingCluster}"""
+    while (line(picks).length > 1700 && picks.nonEmpty) picks = picks.init
+    println(line(picks))
   }
 }

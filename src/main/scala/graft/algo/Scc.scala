@@ -1,6 +1,6 @@
 package graft.algo
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftSqlCompat}
 import org.apache.spark.sql.functions._
 import graft.core.PropertyGraph
 import graft.pregel.{LoopConfig, SuperstepLoop}
@@ -43,19 +43,57 @@ object Scc {
     val spark = graph.edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
 
-    var remV = graph.vertices.select("id").persist()
-    var remE = graph.edges.select("src", "dst")
+    // `remVHandle`/`remEHandle` own the cache entries; `remV`/`remE` are the
+    // plan-truncated views the next round builds on. Without the truncation
+    // every outer round's logical plan embeds the previous round's entire
+    // fixpoint lineage, and Catalyst re-analysis/optimization time doubles
+    // per round even though all inputs are cached (measured: 25 s of pure
+    // driver planning per rebuild count by outer round 2 on a 400-node graph).
+    var remVHandle = graph.vertices.select("id").persist()
+    var remEHandle = graph.edges.select("src", "dst")
       .filter(col("src") =!= col("dst")).distinct()
       .repartition(parts, col("src")).persist()
-    remV.count(); remE.count()
+    remVHandle.count(); remEHandle.count()
+    var remV = GraftSqlCompat.truncatePlan(remVHandle)
+    var remE = GraftSqlCompat.truncatePlan(remEHandle)
 
     var pieces = List.empty[DataFrame]
     var outer  = 0
-    var remaining = remV.count()
+    var remaining = remVHandle.count()
 
     val debug = sys.env.contains("GRAFT_DEBUG_SCC")
+    def phase[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r  = body
+      if (debug) println(f"SCC-PHASE $name secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+      r
+    }
+    // The peeling loop shrinks the subgraph by orders of magnitude per outer
+    // round; a fixed shuffle width then pays (width × stages-per-fixpoint)
+    // near-empty task launches per round on the small tail. Scale the width
+    // to the remaining node count (one partition per ~25k nodes, capped at
+    // the session default) — at web scale this is the session default for
+    // every round that matters, and on the tail it collapses superstep
+    // latency instead of fanning empty tasks. Scoped per round: SuperstepLoop
+    // fixpoints plan their shuffles inside the round body.
+    //
+    // Floor of 2, never 1: a single-partition output satisfies EVERY
+    // distribution requirement, so Catalyst drops all exchanges and plans
+    // the whole fused superstep chain as one task of nested sort-merge
+    // joins — which re-enters a SortExec's UnsafeExternalRowSorter after
+    // it was freed (NPE in UnsafeExternalSorter.insertRecord, reproduced
+    // on the sf0.001 tail). Two partitions keep the exchange boundaries.
+    def partsFor(n: Long): Int =
+      math.max(2, math.min(parts.toLong, n / 25000L + 1L)).toInt
+    def withShuffleParts[T](n: Int)(body: => T): T = {
+      val key  = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, n.toString)
+      try body finally prev.foreach(spark.conf.set(key, _))
+    }
     while (remaining > 0 && outer < maxOuterRounds) {
       outer += 1
+      val p = partsFor(remaining)
       val tOuter = System.nanoTime()
       if (remaining <= localSolveThreshold) {
         // Tail handoff: the remainder fits on the driver — finish with one
@@ -75,7 +113,7 @@ object Scc {
         if (debug)
           println(f"SCC-ROUND outer=$outer remaining=0 (local tarjan on " +
             f"${vs.length} nodes) secs=${(System.nanoTime() - tOuter) / 1e9}%.2f")
-      } else {
+      } else withShuffleParts(p) {
       // 0. trim: nodes with no in- or no out-edge in the remaining subgraph
       // are singleton SCCs — peel them in bulk (the standard trim step; it
       // collapses DAG-like regions without paying a coloring fixpoint).
@@ -85,18 +123,20 @@ object Scc {
           .join(remE.select(col("dst").as("id")).distinct(), Seq("id"), "left_anti"))
         .distinct()
         .select(col("id"), col("id").as("sccId")).persist()
-      if (trimmed.count() > 0) {
+      if (phase("trim")(trimmed.count()) > 0) {
         pieces ::= trimmed
         val newV = remV.join(trimmed.select("id"), Seq("id"), "left_anti")
-          .repartition(parts, col("id")).persist()
+          .repartition(p, col("id")).persist()
         val newE = remE
           .join(newV.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(newV.select(col("id").as("dst")), Seq("dst"), "left_semi")
           .select("src", "dst")
-          .repartition(parts, col("src")).persist()
-        remaining = newV.count(); newE.count()
-        remV.unpersist(false); remE.unpersist(false)
-        remV = newV; remE = newE
+          .repartition(p, col("src")).persist()
+        remaining = phase("trim-rebuild") { val r = newV.count(); newE.count(); r }
+        remVHandle.unpersist(false); remEHandle.unpersist(false)
+        remVHandle = newV; remEHandle = newE
+        remV = GraftSqlCompat.truncatePlan(newV)
+        remE = GraftSqlCompat.truncatePlan(newE)
         if (remaining == 0) {
           // fall through to loop exit
         }
@@ -105,22 +145,25 @@ object Scc {
         // nothing left after trimming
       } else {
       // 1. forward max-color fixpoint
-      val colorInit = remV
-        .select(col("id"), col("id").as("color"), lit(true).as(SuperstepLoop.ActiveCol))
-        .repartition(parts, col("id"))
-      // Both fixpoints are stable under extra supersteps (a converged state
-      // reproduces itself), so fuse 4 supersteps per driver action.
-      val colors = SuperstepLoop.run(colorInit,
-          LoopConfig(maxInnerRounds, fusedSteps = 4)) { (state, _) =>
-        val msgs = state.filter(col(SuperstepLoop.ActiveCol))
-          .select(col("id").as("src"), col("color"))
-          .join(remE, "src")
-          .groupBy(col("dst").as("id")).agg(max("color").as("cand"))
-        state.select("id", "color").join(msgs, Seq("id"), "left")
-          .select(col("id"), greatest(col("color"), coalesce(col("cand"), col("color"))).as("color"),
-            (coalesce(col("cand"), lit(Long.MinValue)) > col("color")).as(SuperstepLoop.ActiveCol))
-      }.state.select("id", "color").persist()
-      colors.count()
+      val colors = phase("colors") {
+        val colorInit = remV
+          .select(col("id"), col("id").as("color"), lit(true).as(SuperstepLoop.ActiveCol))
+          .repartition(p, col("id"))
+        // Both fixpoints are stable under extra supersteps (a converged state
+        // reproduces itself), so fuse 4 supersteps per driver action.
+        val c = SuperstepLoop.run(colorInit,
+            LoopConfig(maxInnerRounds, fusedSteps = 4)) { (state, _) =>
+          val msgs = state.filter(col(SuperstepLoop.ActiveCol))
+            .select(col("id").as("src"), col("color"))
+            .join(remE, "src")
+            .groupBy(col("dst").as("id")).agg(max("color").as("cand"))
+          state.select("id", "color").join(msgs, Seq("id"), "left")
+            .select(col("id"), greatest(col("color"), coalesce(col("cand"), col("color"))).as("color"),
+              (coalesce(col("cand"), lit(Long.MinValue)) > col("color")).as(SuperstepLoop.ActiveCol))
+        }.state.select("id", "color").persist()
+        c.count()
+        c
+      }
 
       // 2. backward reach from each pivot within its color class
       val colored = remE
@@ -128,52 +171,57 @@ object Scc {
         .join(colors.select(col("id").as("dst"), col("color").as("c2")), "dst")
         .filter(col("c1") === col("c2"))
         .select(col("src"), col("dst"), col("c1").as("color"))
-        .repartition(parts, col("dst")).persist()
-      val reachInit = colors
-        .select(col("id"), col("color"), (col("id") === col("color")).as("reached"))
-        .withColumn(SuperstepLoop.ActiveCol, col("reached"))
-        .repartition(parts, col("id"))
-      val reach = SuperstepLoop.run(reachInit,
-          LoopConfig(maxInnerRounds, fusedSteps = 4)) { (state, _) =>
-        // reached flows BACKWARD: v reached and edge u->v (same color) => u
-        val msgs = state.filter(col(SuperstepLoop.ActiveCol))
-          .select(col("id").as("dst"))
-          .join(colored, "dst")
-          .select(col("src").as("id")).distinct()
-          .withColumn("cand", lit(true))
-        state.select("id", "color", "reached").join(msgs, Seq("id"), "left")
-          .select(col("id"), col("color"),
-            (col("reached") || coalesce(col("cand"), lit(false))).as("reached"),
-            (coalesce(col("cand"), lit(false)) && !col("reached")).as(SuperstepLoop.ActiveCol))
-      }.state.persist()
-      reach.count()
+        .repartition(p, col("dst")).persist()
+      val reach = phase("reach") {
+        val reachInit = colors
+          .select(col("id"), col("color"), (col("id") === col("color")).as("reached"))
+          .withColumn(SuperstepLoop.ActiveCol, col("reached"))
+          .repartition(p, col("id"))
+        val r = SuperstepLoop.run(reachInit,
+            LoopConfig(maxInnerRounds, fusedSteps = 4)) { (state, _) =>
+          // reached flows BACKWARD: v reached and edge u->v (same color) => u
+          val msgs = state.filter(col(SuperstepLoop.ActiveCol))
+            .select(col("id").as("dst"))
+            .join(colored, "dst")
+            .select(col("src").as("id")).distinct()
+            .withColumn("cand", lit(true))
+          state.select("id", "color", "reached").join(msgs, Seq("id"), "left")
+            .select(col("id"), col("color"),
+              (col("reached") || coalesce(col("cand"), lit(false))).as("reached"),
+              (coalesce(col("cand"), lit(false)) && !col("reached")).as(SuperstepLoop.ActiveCol))
+        }.state.persist()
+        r.count()
+        r
+      }
 
       // 3. peel: reached nodes form SCCs keyed by color; canonical id = min member
       val members = reach.filter(col("reached"))
         .select(col("id"), col("color"))
       val canon = members.groupBy("color").agg(min("id").as("sccId"))
       val piece = members.join(canon, "color").select(col("id"), col("sccId")).persist()
-      piece.count()
+      phase("peel")(piece.count())
       pieces ::= piece
 
       val newV = remV.join(piece.select("id"), Seq("id"), "left_anti")
-        .repartition(parts, col("id")).persist()
+        .repartition(p, col("id")).persist()
       val newE = remE
         .join(newV.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(newV.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .repartition(parts, col("src")).persist()
-      remaining = newV.count(); newE.count()
-      remV.unpersist(false); remE.unpersist(false)
+        .repartition(p, col("src")).persist()
+      remaining = phase("rebuild") { val r = newV.count(); newE.count(); r }
+      remVHandle.unpersist(false); remEHandle.unpersist(false)
       colors.unpersist(false); colored.unpersist(false); reach.unpersist(false)
-      remV = newV; remE = newE
+      remVHandle = newV; remEHandle = newE
+      remV = GraftSqlCompat.truncatePlan(newV)
+      remE = GraftSqlCompat.truncatePlan(newE)
       }
       if (debug)
         println(f"SCC-ROUND outer=$outer remaining=$remaining " +
           f"secs=${(System.nanoTime() - tOuter) / 1e9}%.2f")
       }
     }
-    remV.unpersist(false); remE.unpersist(false)
+    remVHandle.unpersist(false); remEHandle.unpersist(false)
     val out = pieces match {
       case Nil => graph.vertices.select(col("id"), col("id").as("sccId")).limit(0)
       case l   => l.reduce(_ unionByName _)
