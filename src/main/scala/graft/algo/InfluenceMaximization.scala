@@ -61,7 +61,10 @@ object InfluenceMaximization {
     val init = roots
       .select(col("sample"), col("id"), lit(true).as(SuperstepLoop.ActiveCol))
       .repartition(parts, col("id"))
-    val reached = SuperstepLoop.run(init, LoopConfig(maxDepth)) { (state, _) =>
+    // Monotone reach expansion is fixpoint-stable (empty frontier => state
+    // reproduces itself), so supersteps fuse; maxDepth stays an exact cap.
+    val reached = SuperstepLoop.run(init,
+        LoopConfig(maxDepth, fusedSteps = 4)) { (state, _) =>
       val msgs = state.filter(col(SuperstepLoop.ActiveCol))
         .select(col("sample"), col("id").as("src"))
         .join(rev, "src")

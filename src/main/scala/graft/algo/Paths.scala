@@ -33,7 +33,12 @@ object Paths {
         when(col("id") === source, lit(0L)).otherwise(lit(Long.MaxValue)).as("dist"),
         (col("id") === source).as(SuperstepLoop.ActiveCol))
 
-    val result = SuperstepLoop.run(init, LoopConfig(maxDepth)) { (state, _) =>
+    // Min-relaxation is fixpoint-stable (an empty frontier reproduces the
+    // state) and the fused loop still caps supersteps at maxDepth exactly,
+    // so depth semantics are unchanged; fusing removes the per-level driver
+    // round-trip that dominates BFS latency on small-diameter web graphs.
+    val result = SuperstepLoop.run(init,
+        LoopConfig(maxDepth, fusedSteps = 4)) { (state, _) =>
       val candidates = state.filter(col(SuperstepLoop.ActiveCol))
         .select(col("id").as("src"), col("dist"))
         .join(edges, "src")
@@ -68,7 +73,8 @@ object Paths {
         when(col("id") === source, lit(0.0)).otherwise(lit(inf)).as("dist"),
         (col("id") === source).as(SuperstepLoop.ActiveCol))
 
-    val result = SuperstepLoop.run(init, LoopConfig(maxRounds)) { (state, _) =>
+    val result = SuperstepLoop.run(init,
+        LoopConfig(maxRounds, fusedSteps = 4)) { (state, _) =>
       val candidates = state.filter(col(SuperstepLoop.ActiveCol))
         .select(col("id").as("src"), col("dist"))
         .join(edges, "src")

@@ -48,7 +48,11 @@ object ShortestPaths {
         when(col("id") === source, lit(0.0)).otherwise(lit(inf)).as("dist"),
         (col("id") === source).as(SuperstepLoop.ActiveCol))
 
-    val relaxed = SuperstepLoop.run(init, LoopConfig(maxRounds)) { (state, _) =>
+    // Fixpoint-stable min-relaxation: fuse supersteps (one multi-stage job
+    // per batch) to drop the per-round driver sync; maxRounds is still an
+    // exact cap inside the fused loop.
+    val relaxed = SuperstepLoop.run(init,
+        LoopConfig(maxRounds, fusedSteps = 4)) { (state, _) =>
       val candidates = state.filter(col(SuperstepLoop.ActiveCol))
         .select(col("id").as("src"), col("dist"))
         .join(edges, "src")
@@ -58,11 +62,11 @@ object ShortestPaths {
         .select(col("id"), least(col("dist"), coalesce(col("cand"), col("dist"))).as("dist"),
           (coalesce(col("cand"), lit(inf)) < col("dist")).as(SuperstepLoop.ActiveCol))
     }
+    // The loop's final state is already cached; the reachable-set filter is
+    // a cache read, so the three references below cost no extra action.
     val dists = relaxed.state
       .filter(!col("dist").isNaN && col("dist") =!= inf)
       .select("id", "dist")
-      .persist()
-    dists.count()
 
     // Canonical predecessors: min in-neighbor achieving the final distance.
     val preds = dists.select(col("id").as("src"), col("dist").as("du"))
@@ -75,7 +79,6 @@ object ShortestPaths {
         when(col("id") === source, lit(null).cast("long")).otherwise(col("pred")).as("pred"))
       .persist()
     withPred.count()
-    dists.unpersist(false)
     edges.unpersist(false)
     if (!trackPaths) return withPred
 
@@ -117,18 +120,28 @@ object ShortestPaths {
         .first().getLong(0)
       (cached, left)
     }
+    // Finished walks (cur == source) are fixpoint rows: correct to carry
+    // through further hops, but each hop would shuffle them through its
+    // forest join — and every finished walk hashes to the SAME partition
+    // (cur == source), so the source's bucket accumulates all completed
+    // walks. Walks finish at wildly varying depths (most web-graph paths
+    // are far shorter than the longest), so each batch routes only LIVE
+    // walks through the 8-hop join chain and unions the finished rows back
+    // in after it — they ride along into the batch's one materialize (same
+    // single action, same cache) without touching any join.
     var (cached, remaining) = materialize(start)
     var walk = GraftSqlCompat.truncatePlan(cached)
     var rounds = 0
     while (remaining > 0 && rounds < maxRounds) {
-      var chained = walk
+      val done = walk.filter(col("cur") === source)
+      var chained = GraftSqlCompat.truncatePlan(walk.filter(col("cur") =!= source))
       var b = 0
       while (b < fuse && rounds < maxRounds) {
         b += 1
         rounds += 1
         chained = GraftSqlCompat.truncatePlan(step(chained))
       }
-      val (next, left) = materialize(chained)
+      val (next, left) = materialize(chained.unionByName(done))
       remaining = left
       cached.unpersist(false)
       cached = next
@@ -318,7 +331,11 @@ object ShortestPaths {
       .select(col("id"), when(col("id") === source, lit(0.0)).otherwise(lit(inf)).as("dist"),
         col("h"), (col("id") === source).as(SuperstepLoop.ActiveCol))
 
-    val relaxed = SuperstepLoop.run(init, LoopConfig(maxRounds)) { (state, _) =>
+    // Fixpoint-stable min-relaxation: fuse supersteps (one multi-stage job
+    // per batch) to drop the per-round driver sync; maxRounds is still an
+    // exact cap inside the fused loop.
+    val relaxed = SuperstepLoop.run(init,
+        LoopConfig(maxRounds, fusedSteps = 4)) { (state, _) =>
       val bound = state.filter(col("id") === target)
         .agg(min(col("dist")).as("bound"))
       val candidates = state.filter(col(SuperstepLoop.ActiveCol))
@@ -662,7 +679,11 @@ object ShortestPaths {
         when(col("id") === col("s"), lit(0.0)).otherwise(lit(inf)).as("dist"),
         (col("id") === col("s")).as(SuperstepLoop.ActiveCol))
 
-    val relaxed = SuperstepLoop.run(init, LoopConfig(maxRounds)) { (state, _) =>
+    // Fixpoint-stable min-relaxation: fuse supersteps (one multi-stage job
+    // per batch) to drop the per-round driver sync; maxRounds is still an
+    // exact cap inside the fused loop.
+    val relaxed = SuperstepLoop.run(init,
+        LoopConfig(maxRounds, fusedSteps = 4)) { (state, _) =>
       val candidates = state.filter(col(SuperstepLoop.ActiveCol))
         .select(col("s"), col("id").as("src"), col("dist"))
         .join(edges, "src")
