@@ -116,6 +116,9 @@ object Bench {
       // measure the engine, not the block device
       .config("spark.local.dir",
         sys.env.getOrElse("GRAFT_BENCH_LOCAL_DIR", "/dev/shm/spark-local"))
+      // survive long GC stalls on a loaded box (see SparkTestBase)
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

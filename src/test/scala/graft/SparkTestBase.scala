@@ -15,6 +15,12 @@ object TestSpark {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // a long GC stall on a loaded box can fail enough consecutive
+      // executor->driver heartbeats to self-kill the JVM (exit 56) even in
+      // local mode, taking every later suite with it — relax the heartbeat
+      // so only a genuinely wedged JVM dies
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
