@@ -507,9 +507,8 @@ object SparkEntry {
       Paths.collapsePath(Seq(e, e)).orderBy("src", "dst")
     }),
     "q_hits" -> ((s, dir) =>
-      // 3 iterations: the loop-unrolled oracle doubles per L2-normalization
-      // CTE in engines that inline multiply-referenced CTEs; 6 norm steps
-      // keeps the oracle plan tractable (same bound eigenvectorSql uses)
+      // 3 iterations, kept below HitsConfig.rescaleEvery so the unrolled
+      // oracle replays the pure unnormalized recurrence + final L2 exactly
       Hits.run(denseGraph(s, dir), HitsConfig(maxIterations = 3))
         .select(col("id"), graft.core.Num.roundTo(col("hub"), 6).as("hub"),
           graft.core.Num.roundTo(col("auth"), 6).as("auth")).orderBy("id")),
@@ -2037,6 +2036,10 @@ object SparkEntry {
     * L2 normalization as scalar subqueries, unrolled — mirrors
     * graft.algo.Hits (init hub=auth=1; auth from in-edge hub sums, then hub
     * from out-edge normalized-auth sums; zero norms guarded to 1). */
+  /** Replays graft.algo.Hits exactly: UNNORMALIZED alternating sums (HITS is
+    * linear, so per-half-step L2 normalization is a common positive scale)
+    * with ONE final L2 normalization per column. Assumes
+    * iterations < HitsConfig.rescaleEvery (no in-loop rescale fires). */
   private def hitsSql(edgesSql: String, iterations: Int): String = {
     val steps = (1 to iterations).map { k =>
       val p = s"h${k - 1}"
@@ -2046,26 +2049,27 @@ object SparkEntry {
          |a$k AS (
          |  SELECT s.id, s.hub, COALESCE(ar.a, 0.0) AS auth
          |  FROM $p s LEFT JOIN ar$k ar ON s.id = ar.id),
-         |an$k AS (
-         |  SELECT id, hub, auth / (SELECT CASE WHEN sqrt(sum(auth * auth)) = 0
-         |    THEN 1.0 ELSE sqrt(sum(auth * auth)) END FROM a$k) AS auth FROM a$k),
          |hr$k AS (
          |  SELECT e.src AS id, sum(s.auth) AS h
-         |  FROM an$k s JOIN edges e ON s.id = e.dst GROUP BY e.src),
-         |b$k AS (
-         |  SELECT s.id, COALESCE(hr.h, 0.0) AS hub, s.auth
-         |  FROM an$k s LEFT JOIN hr$k hr ON s.id = hr.id),
+         |  FROM a$k s JOIN edges e ON s.id = e.dst GROUP BY e.src),
          |h$k AS (
-         |  SELECT id, hub / (SELECT CASE WHEN sqrt(sum(hub * hub)) = 0
-         |    THEN 1.0 ELSE sqrt(sum(hub * hub)) END FROM b$k) AS hub, auth FROM b$k)""".stripMargin
+         |  SELECT s.id, COALESCE(hr.h, 0.0) AS hub, s.auth
+         |  FROM a$k s LEFT JOIN hr$k hr ON s.id = hr.id)""".stripMargin
     }.mkString(",\n")
     s"""WITH edges AS ($edgesSql),
        |$NodesSql,
        |h0 AS (SELECT id, 1.0 AS hub, 1.0 AS auth FROM nodes),
-       |$steps
+       |$steps,
+       |fin AS (
+       |  SELECT id,
+       |    hub / (SELECT CASE WHEN sqrt(sum(hub * hub)) = 0 THEN 1.0
+       |      ELSE sqrt(sum(hub * hub)) END FROM h$iterations) AS hub,
+       |    auth / (SELECT CASE WHEN sqrt(sum(auth * auth)) = 0 THEN 1.0
+       |      ELSE sqrt(sum(auth * auth)) END FROM h$iterations) AS auth
+       |  FROM h$iterations)
        |SELECT id, floor(hub * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS hub,
        |  floor(auth * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS auth
-       |FROM h$iterations ORDER BY id""".stripMargin
+       |FROM fin ORDER BY id""".stripMargin
   }
 
   /** Louvain level-1 single-FullSync-round oracle: from singleton

@@ -27,7 +27,9 @@ object Eigenvector {
 
   def run(graph: PropertyGraph, cfg: PageRankConfig): PageRankResult = {
     val spark = graph.edges.sparkSession
-    val parts = cfg.numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val parts = cfg.numPartitions.getOrElse(
+      GraphOps.adaptiveParts(spark, graph.edges.count()))
+    GraphOps.withShuffleWidth(spark, parts) {
 
     val vertices  = graph.vertices.select("id")
     val nodeCount = vertices.count()
@@ -95,5 +97,6 @@ object Eigenvector {
       scores,
       if (result.didConverge) result.ranIterations else cfg.maxIterations,
       result.didConverge)
+    }
   }
 }

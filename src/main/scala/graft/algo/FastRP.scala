@@ -51,7 +51,7 @@ object FastRP {
   /** (id, embedding: array<double>) for every vertex. */
   def run(graph: PropertyGraph, cfg: FastRPConfig = FastRPConfig()): DataFrame = {
     val spark = graph.edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
+    val parts = GraphOps.adaptiveParts(spark, graph.edges.count())
     val d = cfg.embeddingDimension
     val dims = sequence(lit(0), lit(d - 1))
 

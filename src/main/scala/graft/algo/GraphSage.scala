@@ -227,7 +227,7 @@ object GraphSage {
   def predict(graph: PropertyGraph, featureProperty: String,
               model: GraphSageModel): DataFrame = {
     val spark = graph.edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
+    val parts = GraphOps.adaptiveParts(spark, graph.edges.count())
     val vertices = graph.vertices
       .select(col("id"), col(featureProperty).cast("array<double>").as("h"))
       .filter(col("h").isNotNull)

@@ -2,7 +2,7 @@ package graft.algo
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.core.PropertyGraph
+import graft.core.{GraphOps, PropertyGraph}
 import graft.pregel.{LoopConfig, SuperstepLoop}
 
 /** Influence maximization under the independent-cascade model.
@@ -34,7 +34,7 @@ object InfluenceMaximization {
           maxDepth: Int = 10, seed: Long = 42L): Result = {
     require(k >= 1 && p > 0 && p <= 1 && samples >= 1)
     val spark = graph.edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
+    val parts = GraphOps.adaptiveParts(spark, graph.edges.count())
     import spark.implicits._
 
     // RR sets flow BACKWARD along edges: reverse the graph once.
@@ -64,7 +64,7 @@ object InfluenceMaximization {
     // Monotone reach expansion is fixpoint-stable (empty frontier => state
     // reproduces itself), so supersteps fuse; maxDepth stays an exact cap.
     val reached = SuperstepLoop.run(init,
-        LoopConfig(maxDepth, fusedSteps = 4)) { (state, _) =>
+        LoopConfig(maxDepth, fusedSteps = 4, shuffleWidth = Some(parts))) { (state, _) =>
       val msgs = state.filter(col(SuperstepLoop.ActiveCol))
         .select(col("sample"), col("id").as("src"))
         .join(rev, "src")

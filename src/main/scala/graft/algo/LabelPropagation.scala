@@ -150,7 +150,8 @@ object LabelPropagation {
 
   private def runSync(graph: PropertyGraph, cfg: LpConfig): LpResult = {
     val spark = graph.edges.sparkSession
-    val parts = cfg.numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val parts = cfg.numPartitions.getOrElse(
+      GraphOps.adaptiveParts(spark, graph.edges.count()))
 
     val edges = weightedEdges(graph, cfg)
       .repartition(parts, col("dst"))
@@ -161,7 +162,8 @@ object LabelPropagation {
       .select(col("id"), initLabelCol(graph.vertices, cfg).as("label"),
               lit(true).as(SuperstepLoop.ActiveCol))
 
-    val loopCfg = LoopConfig(cfg.maxIterations, cfg.checkpointDir, cfg.checkpointInterval)
+    val loopCfg = LoopConfig(cfg.maxIterations, cfg.checkpointDir, cfg.checkpointInterval,
+      shuffleWidth = Some(parts))
     val result = SuperstepLoop.run(init, loopCfg) { (state, iter) =>
       // Semi-synchronous schedule — the deterministic, distributed analogue
       // of the reference's asynchronous in-place updates

@@ -26,10 +26,11 @@ object MaxKCut {
           seed: Long = 42L, localTailThreshold: Long = 500000L): Result = {
     require(k >= 2, "k must be >= 2")
     val spark = graph.edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
-
-    if (localTailThreshold >= 0L && graph.edges.count() <= localTailThreshold)
+    val edgeCount = graph.edges.count()
+    if (localTailThreshold >= 0L && edgeCount <= localTailThreshold)
       return runLocal(graph, k, maxIterations, seed)
+    val parts = GraphOps.adaptiveParts(spark, edgeCount)
+    GraphOps.withShuffleWidth(spark, parts) {
 
     val edges = GraphOps.withWeight(
         PropertyGraph(graph.vertices, GraphOps.withWeight(graph.edges))
@@ -107,6 +108,7 @@ object MaxKCut {
     edges.unpersist(false)
     val out = assign.select(col("id"), col("cls").cast("long").as("community"))
     Result(out, totalWeight - intra, totalWeight, iter)
+    }
   }
 
   /** Driver-local tail for sub-threshold graphs: the EXACT same synchronous

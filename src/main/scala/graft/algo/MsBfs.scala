@@ -38,7 +38,11 @@ object MsBfs {
 
   private def distSigmaScoped(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
     val spark = edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
+    // width sized to the larger of the edge table and a per-source frontier
+    // allowance (32 rows/source) — see GraphOps.adaptiveParts
+    val parts = GraphOps.adaptiveParts(spark,
+      math.max(edges.count(), 32L * sources.count()))
+    GraphOps.withShuffleWidth(spark, parts) {
     val e = edges.select("src", "dst").repartition(parts, col("src")).persist()
 
     // The visited set is kept as a LAZY union of per-level caches: each
@@ -85,6 +89,7 @@ object MsBfs {
     levels.foreach(_.unpersist(false))
     e.unpersist(false)
     out
+    }
   }
 
   /** All-pairs shortest-path distance stream (gds.alpha.allShortestPaths
@@ -228,7 +233,10 @@ object MsBfs {
         return localBrandes(spark, csr, srcIdx, ids, divisor0)
       case None => ()
     }
-    val edges = edgesRaw.repartition(parts, col("src")).persist()
+    // edges persisted at the adaptive width so the per-level backward joins
+    // aren't fanned across near-empty full-width partitions on small inputs
+    val adaptParts = GraphOps.adaptiveParts(spark, edgesRaw.count())
+    val edges = edgesRaw.repartition(adaptParts, col("src")).persist()
     val srcDf = srcDf0
 
     val visited = distSigma(edges, srcDf).persist()

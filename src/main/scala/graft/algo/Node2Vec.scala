@@ -3,7 +3,7 @@ package graft.algo
 import org.apache.spark.sql.{DataFrame, GraftSqlCompat}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.core.PropertyGraph
+import graft.core.{GraphOps, PropertyGraph}
 
 /** node2vec embeddings: biased second-order random walks + skip-gram.
   *
@@ -54,7 +54,7 @@ object Node2Vec {
     * (walks stop early at sinks). Deterministic. */
   def biasedWalks(graph: PropertyGraph, cfg: Node2VecConfig): DataFrame = {
     val spark = graph.edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
+    val parts = GraphOps.adaptiveParts(spark, graph.edges.count())
     val p = cfg.returnFactor
     val q = cfg.inOutFactor
 
@@ -143,7 +143,7 @@ object Node2Vec {
     * Returns (id, embedding: array<double>). */
   def run(graph: PropertyGraph, cfg: Node2VecConfig = Node2VecConfig()): Result = {
     val spark = graph.edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
+    val parts = GraphOps.adaptiveParts(spark, graph.edges.count())
     val walks = biasedWalks(graph, cfg)
 
     // sentences: per-walk node sequence ordered by step; deterministic

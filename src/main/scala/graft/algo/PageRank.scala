@@ -88,7 +88,12 @@ object PageRank {
   private def runInternal(graph: PropertyGraph, cfg: PageRankConfig,
                           articleRank: Boolean, resumeRun: Boolean): PageRankResult = {
     val spark = graph.edges.sparkSession
-    val parts = cfg.numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    // adaptive width (floor 2, session cap): at web scale edges/25k passes
+    // the cap and this IS the session width; on a small (sub)graph it stops
+    // every superstep stage fanning 32 contending near-empty tasks
+    val parts = cfg.numPartitions.getOrElse(
+      GraphOps.adaptiveParts(spark, graph.edges.count()))
+    GraphOps.withShuffleWidth(spark, parts) {
     val alpha = 1.0 - cfg.dampingFactor
 
     val vertices = graph.vertices.select("id")
@@ -167,6 +172,7 @@ object PageRank {
       scores,
       if (result.didConverge) result.ranIterations else cfg.maxIterations,
       result.didConverge)
+    }
   }
 
   private def step(augEdges: DataFrame, hubPath: Option[(DataFrame, DataFrame)],

@@ -23,7 +23,11 @@ object Paths {
           orientation: Orientation = Orientation.Natural,
           maxDepth: Int = 100): DataFrame = {
     val spark = graph.edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
+    // shuffle width sized to the edge count (floor 2, session cap) — see
+    // GraphOps.adaptiveParts; edges/init/loop must share ONE width so the
+    // per-level joins stay co-partitioned
+    val parts = GraphOps.adaptiveParts(spark, graph.edges.count())
+    GraphOps.withShuffleWidth(spark, parts) {
     val edges = graph.orientedEdges(orientation).select("src", "dst")
       .repartition(parts, col("src")).persist()
 
@@ -50,6 +54,7 @@ object Paths {
     }
     edges.unpersist(false)
     result.state.filter(col("dist") =!= Long.MaxValue).select("id", "dist")
+    }
   }
 
   /** Single-source shortest paths over non-negative weights: parallel
@@ -61,7 +66,8 @@ object Paths {
            orientation: Orientation = Orientation.Natural,
            maxRounds: Int = 200): DataFrame = {
     val spark = graph.edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
+    val parts = GraphOps.adaptiveParts(spark, graph.edges.count())
+    GraphOps.withShuffleWidth(spark, parts) {
     val edges = GraphOps.withWeight(graph.orientedEdges(orientation))
       .select("src", "dst", "weight")
       .repartition(parts, col("src")).persist()
@@ -86,6 +92,7 @@ object Paths {
     }
     edges.unpersist(false)
     result.state.filter(!col("dist").isNaN && col("dist") =!= inf).select("id", "dist")
+    }
   }
 
   /** DFS preorder from `source` with deterministic neighbor order
@@ -173,7 +180,8 @@ object Paths {
   def randomWalks(graph: PropertyGraph, steps: Int, walksPerNode: Int = 1,
                   seed: Long = 42L): DataFrame = {
     val spark = graph.edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
+    val parts = GraphOps.adaptiveParts(spark, graph.edges.count())
+    GraphOps.withShuffleWidth(spark, parts) {
     import org.apache.spark.sql.expressions.Window
     // positions are deterministic: row_number over (src, dst) ordering
     val idx = graph.edges.select("src", "dst")
@@ -209,5 +217,6 @@ object Paths {
     hops.foreach(_.unpersist(false))
     idx.unpersist(false); deg.unpersist(false)
     result
+    }
   }
 }

@@ -34,9 +34,11 @@ object ShortestPaths {
                            trackPaths: Boolean = true,
                            localTailThreshold: Long = 500000L): DataFrame = {
     val spark = graph.edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
-    if (localTailThreshold >= 0L && graph.edges.count() <= localTailThreshold)
+    val edgeCount = graph.edges.count()
+    if (localTailThreshold >= 0L && edgeCount <= localTailThreshold)
       return dijkstraLocal(graph, source, orientation, maxRounds, trackPaths)
+    val parts = GraphOps.adaptiveParts(spark, edgeCount)
+    GraphOps.withShuffleWidth(spark, parts) {
     val edges = GraphOps.withWeight(graph.orientedEdges(orientation))
       .select("src", "dst", "weight")
       .repartition(parts, col("src")).persist()
@@ -80,14 +82,15 @@ object ShortestPaths {
       .persist()
     withPred.count()
     edges.unpersist(false)
-    if (!trackPaths) return withPred
-
-    val walk = walkPreds(withPred.select(col("id"), col("pred")),
-      withPred.select(col("id"), col("id").as("cur"), array(col("id")).as("path")),
-      source, maxRounds, parts)
-    val out = withPred.join(walk.select("id", "path"), "id")
-      .select("id", "dist", "pred", "path")
-    out
+    if (!trackPaths) withPred
+    else {
+      val walk = walkPreds(withPred.select(col("id"), col("pred")),
+        withPred.select(col("id"), col("id").as("cur"), array(col("id")).as("path")),
+        source, maxRounds, parts)
+      withPred.join(walk.select("id", "path"), "id")
+        .select("id", "dist", "pred", "path")
+    }
+    }
   }
 
   /** Iterative predecessor-chain reconstruction: walk every start row's
@@ -309,16 +312,17 @@ object ShortestPaths {
             maxRounds: Int = 200,
             localTailThreshold: Long = 500000L): DataFrame = {
     val spark = graph.edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
     val tRow = graph.vertices.filter(col("id") === target)
       .select(col(latCol).cast("double"), col(lonCol).cast("double")).collect()
     require(tRow.nonEmpty, s"target $target not in vertices")
     val (tLat, tLon) = (tRow(0).getDouble(0), tRow(0).getDouble(1))
 
-    if (localTailThreshold >= 0L && graph.edges.count() <= localTailThreshold)
+    val edgeCount = graph.edges.count()
+    if (localTailThreshold >= 0L && edgeCount <= localTailThreshold)
       return astarLocal(graph, source, target, latCol, lonCol, tLat, tLon,
         radius, orientation, maxRounds)
-
+    val parts = GraphOps.adaptiveParts(spark, edgeCount)
+    GraphOps.withShuffleWidth(spark, parts) {
     val edges = GraphOps.withWeight(graph.orientedEdges(orientation))
       .select("src", "dst", "weight")
       .repartition(parts, col("src")).persist()
@@ -390,6 +394,7 @@ object ShortestPaths {
       case _ =>
         Seq.empty[(Long, Long, Double, Seq[Long])]
           .toDF("sourceNode", "targetNode", "totalCost", "nodeIds")
+    }
     }
   }
 
@@ -648,11 +653,11 @@ object ShortestPaths {
                                maxRounds: Int = 200,
                                localTailThreshold: Long = 500000L): DataFrame = {
     val spark = graph.edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
     val srcDf = sources.getOrElse(graph.vertices.select("id"))
     val inf   = Double.PositiveInfinity
 
-    if (localTailThreshold >= 0L && graph.edges.count() <= localTailThreshold) {
+    val edgeCount = graph.edges.count()
+    if (localTailThreshold >= 0L && edgeCount <= localTailThreshold) {
       val (ids, es, idx) = collectWeighted(graph, orientation)
       val srcIdx = srcDf.select("id").collect().map(_.getLong(0))
         .flatMap(idx.get).sorted
@@ -669,6 +674,11 @@ object ShortestPaths {
         .toDF("sourceNodeId", "targetNodeId", "distance")
     }
 
+    // width sized to the LARGER of edges and the (s, id) state grid — the
+    // state is |sources| x |V| rows and dominates on dense source sets
+    val parts = GraphOps.adaptiveParts(spark,
+      math.max(edgeCount, srcDf.count() * graph.vertices.count()))
+    GraphOps.withShuffleWidth(spark, parts) {
     val edges = GraphOps.withWeight(graph.orientedEdges(orientation))
       .select("src", "dst", "weight")
       .repartition(parts, col("src")).persist()
@@ -699,5 +709,6 @@ object ShortestPaths {
     relaxed.state.filter(col("dist") =!= inf)
       .select(col("s").as("sourceNodeId"), col("id").as("targetNodeId"),
         col("dist").as("distance"))
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft.algo
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.core.{Orientation, PropertyGraph}
+import graft.core.{GraphOps, Orientation, PropertyGraph}
 import graft.pregel.{LoopConfig, SuperstepLoop}
 
 /** Speaker-Listener Label Propagation (SLPA) — overlapping communities.
@@ -30,10 +30,10 @@ object Sllpa {
           minAssociationStrength: Double = 0.2, seed: Long = 42L,
           localTailThreshold: Long = 500000L): Result = {
     val spark = graph.edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
-
-    if (localTailThreshold >= 0L && graph.edges.count() <= localTailThreshold)
+    val edgeCount = graph.edges.count()
+    if (localTailThreshold >= 0L && edgeCount <= localTailThreshold)
       return runLocal(graph, maxIterations, minAssociationStrength, seed)
+    val parts = GraphOps.adaptiveParts(spark, edgeCount)
 
     val edges = graph.orientedEdges(Orientation.Undirected)
       .select("src", "dst").filter(col("src") =!= col("dst")).distinct()
@@ -49,7 +49,7 @@ object Sllpa {
     // help here: SLPA's cost is its per-round shuffles (speak + two listen
     // aggregations), not driver actions, and the 5-deep fused plan pays
     // ~2x first-run codegen. One action per round stays.
-    val loop = SuperstepLoop.run(init, LoopConfig(maxIterations)) { (state, iter) =>
+    val loop = SuperstepLoop.run(init, LoopConfig(maxIterations, shuffleWidth = Some(parts))) { (state, iter) =>
       // speaker: uniform index into memory = frequency-proportional draw
       val spoken = state
         .select(col("id").as("src"),

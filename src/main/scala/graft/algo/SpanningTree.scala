@@ -38,7 +38,8 @@ object SpanningTree {
           minimize: Boolean = true, maxRounds: Int = 64,
           localSolveThreshold: Long = 100000L): Result = {
     val spark = graph.edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
+    val parts = GraphOps.adaptiveParts(spark, graph.edges.count())
+    GraphOps.withShuffleWidth(spark, parts) {
     import spark.implicits._
 
     // Canonical undirected weighted edges: one row per {a,b}, deterministic
@@ -197,6 +198,7 @@ object SpanningTree {
     canon.unpersist(false); comp.unpersist(false)
     tree.foreach(_.unpersist(false))
     Result(out, rounds)
+    }
   }
 
   /** K-spanning-tree clustering (reference KSpanningTree.java): compute the

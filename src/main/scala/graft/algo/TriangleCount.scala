@@ -38,7 +38,9 @@ object TriangleCount {
 
   def run(graph: PropertyGraph, cfg: TriangleCountConfig = TriangleCountConfig()): TriangleCountResult = {
     val spark = graph.edges.sparkSession
-    val parts = cfg.numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val parts = cfg.numPartitions.getOrElse(
+      GraphOps.adaptiveParts(spark, graph.edges.count()))
+    GraphOps.withShuffleWidth(spark, parts) {
 
     // GDS degree under an UNDIRECTED projection counts every adjacency slot:
     // both directions of every input edge, parallels included, self-loops
@@ -109,6 +111,7 @@ object TriangleCount {
     oriented.unpersist(false)
     canonical.unpersist(false)
     TriangleCountResult(local, global)
+    }
   }
 
   /** Local clustering coefficient: C(v) = 2·tri(v) / (deg(v)·(deg(v)−1))

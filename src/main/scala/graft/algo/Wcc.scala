@@ -50,7 +50,11 @@ object Wcc {
 
   def run(graph: PropertyGraph, cfg: WccConfig = WccConfig()): WccResult = {
     val spark = graph.edges.sparkSession
-    val parts = cfg.numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    // adaptive width (GraphOps.adaptiveParts): session width at web scale,
+    // data-sized on small (sub)graphs; the loop scopes the same width so
+    // superstep shuffles stay co-partitioned with the edge table
+    val parts = cfg.numPartitions.getOrElse(
+      GraphOps.adaptiveParts(spark, graph.edges.count()))
 
     val base = cfg.threshold match {
       case Some(t) => GraphOps.withWeight(graph.edges).filter(col("weight") > lit(t))
@@ -74,7 +78,7 @@ object Wcc {
       .select(col("id"), initComp.as("comp"), lit(true).as(SuperstepLoop.ActiveCol))
 
     val loopCfg = LoopConfig(cfg.maxSteps, cfg.checkpointDir, cfg.checkpointInterval,
-      fusedSteps = cfg.fusedSteps)
+      fusedSteps = cfg.fusedSteps, shuffleWidth = Some(parts))
     val result = SuperstepLoop.run(init, loopCfg) { (state, _) =>
       val candidates = state
         .filter(col(SuperstepLoop.ActiveCol))
@@ -109,7 +113,9 @@ object Wcc {
     */
   def runStar(graph: PropertyGraph, cfg: WccConfig = WccConfig()): WccResult = {
     val spark = graph.edges.sparkSession
-    val parts = cfg.numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val parts = cfg.numPartitions.getOrElse(
+      GraphOps.adaptiveParts(spark, graph.edges.count()))
+    GraphOps.withShuffleWidth(spark, parts) {
 
     val thresholded = cfg.threshold match {
       case Some(t) => GraphOps.withWeight(graph.edges).filter(col("weight") > lit(t))
@@ -226,6 +232,7 @@ object Wcc {
       .select(col("id"), coalesce(col("comp"), col("id")).as("componentId"))
     edges.unpersist(false)
     finish(comps, cfg, rounds, done)
+    }
   }
 
   private def broadcastIfLocal(df: DataFrame, isLocal: Boolean): DataFrame =

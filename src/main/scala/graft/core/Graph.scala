@@ -137,6 +137,44 @@ object GraphOps {
     edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id")))
       .distinct()
+
+  /** Adaptive shuffle width: one partition per ~25k rows, capped at the
+    * session shuffle width. A superstep over a small (sub)graph otherwise
+    * fans every stage across the full session width — at 32 threads the
+    * per-task fixed costs (task-binary class resolution, broadcast-block
+    * KeyLock, codegen locks) all contend and dominate wall time (measured:
+    * 2.2x on a 300-node fixture). At web scale `rows/25k` passes the cap and
+    * this is exactly the session width, so cluster deployments size it via
+    * conf as before.
+    *
+    * Floor of 2, never 1: a single-partition output satisfies every
+    * distribution requirement, so Catalyst drops all exchanges and fuses a
+    * whole superstep chain into one task of nested joins — which re-enters a
+    * freed SortExec sorter (see [[graft.algo.Scc]], where this width scaling
+    * was first applied per peeling round). */
+  def adaptiveParts(spark: SparkSession, rows: Long, rowsPerPart: Long = 25000L): Int = {
+    val cap = spark.sessionState.conf.numShufflePartitions
+    math.max(2L, math.min(cap.toLong, rows / rowsPerPart + 1L)).toInt
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `width`,
+    * restoring the previous setting after. Plans built AND materialized
+    * inside (superstep loops, persisted passes) get the scoped width for
+    * every groupBy/join shuffle; a lazy DataFrame returned out of the scope
+    * plans at the caller's width. */
+  def withShuffleWidth[T](spark: SparkSession, width: Int)(body: => T): T = {
+    val key  = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, width.toString)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** [[withShuffleWidth]] at [[adaptiveParts]] of `rows`. */
+  def withAdaptiveShuffle[T](spark: SparkSession, rows: Long)(body: => T): T =
+    withShuffleWidth(spark, adaptiveParts(spark, rows))(body)
 }
 
 /** Session-scoped named-graph registry — the Spark-native analogue of the

@@ -109,9 +109,15 @@ final class Pregel private (graph: PropertyGraph) {
       col("id") +: vertexCols.map(v => v.init.as(v.name)) :+
         lit(true).as(SuperstepLoop.ActiveCol): _*)
 
+    // superstep shuffles sized to the edge table (session width at scale,
+    // data-sized on small graphs — see GraphOps.adaptiveParts)
+    val width = graft.core.GraphOps.adaptiveParts(
+      graph.edges.sparkSession, graph.edges.count())
+
     val result = SuperstepLoop.run(init, LoopConfig(
       maxSteps = maxIterations, checkpointDir = checkpointDir,
-      checkpointInterval = checkpointInterval, fusedSteps = fusedSteps)) { (state, _) =>
+      checkpointInterval = checkpointInterval, fusedSteps = fusedSteps,
+      shuffleWidth = Some(width))) { (state, _) =>
       // Sender must be active (classic Pregel: halted vertices don't compute).
       // The sender of a dst-bound message is the edge's src and vice versa,
       // so each direction filters activity on its own endpoint.

@@ -48,6 +48,14 @@ import graft.io.SnapshotStore
   *                           per-superstep driver round-trip — the fixed cost
   *                           that capped scaling efficiency at small
   *                           per-superstep compute.
+  * @param shuffleWidth       when set, `spark.sql.shuffle.partitions` is
+  *                           scoped to this for the loop's jobs (algorithms
+  *                           pass GraphOps.adaptiveParts so superstep
+  *                           shuffles are sized to the graph, not the
+  *                           session default). Must equal the width the
+  *                           algorithm used for its explicit edge/state
+  *                           repartitions, or the co-partitioned joins gain
+  *                           exchanges back.
   */
 final case class LoopConfig(
   maxSteps: Int,
@@ -56,7 +64,8 @@ final case class LoopConfig(
   truncateInterval: Int = 8,
   disableAqeInLoop: Boolean = true,
   storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-  fusedSteps: Int = 1)
+  fusedSteps: Int = 1,
+  shuffleWidth: Option[Int] = None)
 
 final case class IterationMetrics(iteration: Int, activeCount: Long, wallMs: Long)
 
@@ -136,21 +145,28 @@ object SuperstepLoop {
     *    joins then skip per-superstep sorts of the edge table
     */
   private def withLoopConf[A](spark: SparkSession, cfg: LoopConfig)(body: => A): A =
-    withIterationConf(spark, disable = cfg.disableAqeInLoop)(body)
+    withIterationConf(spark, disable = cfg.disableAqeInLoop,
+      width = cfg.shuffleWidth)(body)
 
   /** Same conf scoping for iterative algorithms that drive their own loop
     * (Louvain, kNN): AQE + auto-broadcast + sort-merge preference off for
-    * the loop's jobs, previous settings restored after. */
+    * the loop's jobs, previous settings restored after. `width` additionally
+    * scopes `spark.sql.shuffle.partitions` (see GraphOps.adaptiveParts) —
+    * physical planning happens at each materialize, i.e. inside this scope,
+    * so every groupBy/join shuffle in the loop gets the data-sized width. */
   private[graft] def withIterationConf[A](spark: SparkSession,
-                                          disable: Boolean = true)(body: => A): A = {
+                                          disable: Boolean = true,
+                                          width: Option[Int] = None)(body: => A): A = {
     val keys = Seq("spark.sql.adaptive.enabled",
-      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.join.preferSortMergeJoin")
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.join.preferSortMergeJoin",
+      "spark.sql.shuffle.partitions")
     val prev = keys.map(k => k -> spark.conf.getOption(k))
     if (disable) {
       spark.conf.set(keys(0), "false")
       spark.conf.set(keys(1), "-1")
       spark.conf.set(keys(2), "false")
     }
+    width.foreach(w => spark.conf.set(keys(3), w.toString))
     try body finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)

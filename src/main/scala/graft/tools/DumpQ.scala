@@ -18,6 +18,14 @@ object DumpQ {
         .write.mode("overwrite").parquet(s"$outDir/$q")
       println(s"DUMPED $q")
     }
+    // matching oracle subset so tools/compare_oracle.py works on the dump
+    val sub = graft.SparkEntry.oracleSql.filter(kv => args.drop(2).contains(kv._1))
+    val jsonStr = sub.map { case (k, v) =>
+      "\"" + k + "\": " + com.fasterxml.jackson.databind.json.JsonMapper.builder()
+        .build().writeValueAsString(v)
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      jsonStr.getBytes("UTF-8"))
     spark.stop()
   }
 }
