@@ -1136,6 +1136,10 @@ object SparkEntry {
         .select(col("a"), col("b"), col("score").as("aa"))
       val ra = Similarity.resourceAllocation(nbr, pairs)
         .select(col("a"), col("b"), col("score").as("ra"))
+      // community property: id % 7, missing (null) on multiples of 13 —
+      // exercises sameCommunity's missing-property -> 0.0 path
+      def comm(c: org.apache.spark.sql.Column) =
+        when(c % 13 === 0, lit(null)).otherwise(c % 7)
       pairs
         .join(sets.select(col("id").as("a"), col("ns").as("na")), "a")
         .join(sets.select(col("id").as("b"), col("ns").as("nbv")), "b")
@@ -1146,8 +1150,21 @@ object SparkEntry {
           r6(Similarity.preferentialAttachment(col("na"), col("nbv"))).as("pref_attachment"),
           r6(Similarity.jaccard(col("na"), col("nbv"))).as("jaccard"),
           r6(col("aa")).as("adamic_adar"),
-          r6(col("ra")).as("resource_alloc"))
+          r6(col("ra")).as("resource_alloc"),
+          Similarity.sameCommunity(comm(col("a")), comm(col("b"))).as("same_community"))
         .orderBy("a")
+    }),
+    "q_split_rels" -> ((s, dir) => {
+      // gds.alpha.ml.splitRelationships.mutate: deterministic holdout /
+      // remaining split + LCG negative sampling over the dense graph's
+      // distinct directed edges; exact SQL oracle replays the md5 draw and
+      // the arithmetic candidate generator.
+      val g = denseGraph(s, dir)
+      val e = g.edges.select(col("src"), col("dst")).distinct()
+      graft.ml.SplitRelationships.split(e, g.vertices,
+        graft.ml.SplitRelationships.SplitConfig(
+          holdoutFraction = 0.2, negativeSamplingRatio = 1.0, seed = 7L))
+        .orderBy("split", "label", "src", "dst")
     }),
     // Execution modes (stream/stats/mutate/write — SURVEY §2 #14), split into
     // three single-purpose queries so one fragile step can't blank the whole
@@ -1744,6 +1761,7 @@ object SparkEntry {
     "q_scale_properties" -> ScalePropertiesSql,
     "q_similarity_fns" -> SimilarityFnsSql,
     "q_linkpred_fns" -> LinkPredFnsSql,
+    "q_split_rels" -> SplitRelsSql,
     "q_exec_stats" -> ExecStatsSql,
     "q_exec_mutate" -> ExecMutateSql,
     "q_exec_write" -> ExecWriteSql,
@@ -1845,11 +1863,34 @@ object SparkEntry {
        |  (da.d * db.d) AS pref_attachment,
        |  ${r6("CAST(COALESCE(g.cn, 0) AS DOUBLE) / (da.d + db.d - COALESCE(g.cn, 0))")} AS jaccard,
        |  ${r6("COALESCE(g.aa, 0.0)")} AS adamic_adar,
-       |  ${r6("COALESCE(g.ra, 0.0)")} AS resource_alloc
+       |  ${r6("COALESCE(g.ra, 0.0)")} AS resource_alloc,
+       |  CAST(CASE WHEN p.a % 13 = 0 OR p.b % 13 = 0 THEN 0.0
+       |            WHEN p.a % 7 = p.b % 7 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS same_community
        |FROM pairs p JOIN deg da ON da.id = p.a JOIN deg db ON db.id = p.b
        |LEFT JOIN cagg g ON g.a = p.a AND g.b = p.b
        |ORDER BY p.a""".stripMargin
   }
+
+  /** Exact replay of SplitRelationships.split on the dense graph's distinct
+    * directed edges: same md5 holdout draw (threshold 0x3333 = fraction 0.2),
+    * same LCG negative candidates, same anti-join. */
+  private val SplitRelsSql: String =
+    s"""WITH edges_d AS (SELECT DISTINCT src, dst FROM ($DenseEdgesSql) t),
+       |nn AS (SELECT count(*) AS n FROM (SELECT src AS id FROM edges_d UNION SELECT dst FROM edges_d) u),
+       |tagged AS (SELECT src, dst,
+       |  substr(md5(concat_ws(':', src, dst, 7)), 1, 4) < '3333' AS hold FROM edges_d),
+       |holdpos AS (SELECT src, dst FROM tagged WHERE hold),
+       |ranked AS (SELECT src, dst,
+       |  row_number() OVER (PARTITION BY src ORDER BY dst) AS r FROM holdpos),
+       |cands AS (SELECT DISTINCT src,
+       |  ((src % 1000003) * 48271 + (r + 1) * 16807 + 7) % (SELECT n FROM nn) AS dst
+       |  FROM ranked),
+       |negs AS (SELECT c.src, c.dst FROM cands c WHERE c.dst <> c.src
+       |  AND NOT EXISTS (SELECT 1 FROM edges_d e WHERE e.src = c.src AND e.dst = c.dst))
+       |SELECT src, dst, 1.0 AS label, 'holdout' AS split FROM holdpos
+       |UNION ALL SELECT src, dst, 0.0, 'holdout' FROM negs
+       |UNION ALL SELECT src, dst, 1.0, 'remaining' FROM tagged WHERE NOT hold
+       |ORDER BY split, label, src, dst""".stripMargin
 
   private val ExecStatsSql: String = {
     val pr = pagerankSql(OrdersEdgesSql, supersteps = 8, weighted = false)

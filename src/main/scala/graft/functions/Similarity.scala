@@ -74,6 +74,14 @@ object Similarity {
   def preferentialAttachment(a: Column, b: Column): Column =
     size(array_distinct(a)).cast("double") * size(array_distinct(b)).cast("double")
 
+  /** `gds.alpha.linkprediction.sameCommunity` (reference: alpha/alpha-proc/
+    * src/main/java/org/neo4j/gds/linkprediction/LinkPredictionFunc.java:113-121):
+    * 1.0 if both nodes carry the community property and the values are equal,
+    * 0.0 when either is missing or they differ. */
+  def sameCommunity(ca: Column, cb: Column): Column =
+    when(ca.isNull || cb.isNull, lit(0.0))
+      .otherwise(when(ca === cb, lit(1.0)).otherwise(lit(0.0)))
+
   // ------------------------------------------------------------------
   // Degree-weighted link-prediction scores (gds.alpha.linkprediction.
   // {adamicAdar,resourceAllocation}; reference: alpha/alpha-proc/src/main/
