@@ -977,6 +977,38 @@ object SparkEntry {
         .select(col("nodes_total"), col("has_giant"))
     }),
 
+    "q_url_canon" -> ((s, dir) => {
+      // URL canonicalization + host extraction (crawl-dedup keying) over
+      // deterministic messy urls: mixed-case scheme/host, default ports,
+      // userinfo, fragments. Exact SQL oracle replays every regexp.
+      val o = table(s, dir, "orders")
+      val url = concat(
+        when(col("o_orderkey") % 2 === 0,
+          concat(lit("HTTP://Host-"), (col("o_custkey") % 50).cast("string"),
+                 lit(".Example:80/Path/")))
+          .otherwise(concat(lit("https://User@host-"),
+                 (col("o_custkey") % 50).cast("string"), lit(".example:443/Path/"))),
+        col("o_orderkey").cast("string"),
+        when(col("o_orderkey") % 3 === 0, lit("#frag")).otherwise(lit("")))
+      o.select(url.as("url"))
+        .select(col("url"),
+          graft.io.Pages.canonicalizeUrl(col("url")).as("canon"),
+          graft.io.Pages.hostOf(col("url")).as("host"))
+        .orderBy("url")
+    }),
+    "q_host_graph" -> ((s, dir) => {
+      // page-level link table -> host-level edge table (the Common-Crawl
+      // host-graph derivation): one map-side-combined groupBy on the host
+      // pair. Deterministic urls from orders; exact SQL oracle.
+      val o = table(s, dir, "orders")
+      val links = o.select(
+        concat(lit("https://h"), (col("o_custkey") % 40).cast("string"),
+               lit(".example/p/"), col("o_orderkey").cast("string")).as("url"),
+        concat(lit("https://h"), ((col("o_orderkey") * 7 + col("o_custkey")) % 40).cast("string"),
+               lit(".example/q/"), (col("o_orderkey") % 100).cast("string")).as("href"))
+      graft.io.Pages.hostGraph(links).orderBy("src_host", "dst_host")
+    }),
+
     // --- spanning trees (exact oracle: path-with-heavy-chords graph) ---
     "q_spanning_tree" -> ((s, dir) => {
       // path edges weigh 1..7, every chord >= 10: by the cycle property the
@@ -1709,6 +1741,19 @@ object SparkEntry {
         |CAST(0 AS BIGINT) AS property_violations""".stripMargin,
     "q_pages_wcc" -> "SELECT CAST(3000 AS BIGINT) AS nodes_total, true AS has_giant",
 
+    "q_url_canon" -> UrlCanonSql,
+    "q_host_graph" ->
+      """WITH l AS (SELECT
+        |  concat('https://h', CAST(o_custkey % 40 AS VARCHAR), '.example/p/',
+        |         CAST(o_orderkey AS VARCHAR)) AS url,
+        |  concat('h', CAST(o_custkey % 40 AS VARCHAR), '.example') AS src_host,
+        |  concat('h', CAST((o_orderkey * 7 + o_custkey) % 40 AS VARCHAR), '.example') AS dst_host
+        |  FROM orders)
+        |SELECT src_host, dst_host, count(*) AS weight,
+        |       count(DISTINCT url) AS pages
+        |FROM l GROUP BY src_host, dst_host
+        |ORDER BY src_host, dst_host""".stripMargin,
+
     "q_dijkstra" -> dijkstraPathSql(
       DenseEdgesSql.replace(" FROM orders",
         ", CAST((o_orderkey % 300) * 31 + ((o_orderkey * 7 + o_custkey) % 300) AS BIGINT) AS wseed FROM orders"),
@@ -1891,6 +1936,32 @@ object SparkEntry {
        |UNION ALL SELECT src, dst, 0.0, 'holdout' FROM negs
        |UNION ALL SELECT src, dst, 1.0, 'remaining' FROM tagged WHERE NOT hold
        |ORDER BY split, label, src, dst""".stripMargin
+
+  /** Exact replay of Pages.canonicalizeUrl + Pages.hostOf: every regexp can
+    * match at most once, so DuckDB's replace-first equals Spark's
+    * replace-all on these patterns. */
+  private val UrlCanonSql: String =
+    """WITH u AS (SELECT
+      |  concat(CASE WHEN o_orderkey % 2 = 0
+      |    THEN concat('HTTP://Host-', CAST(o_custkey % 50 AS VARCHAR), '.Example:80/Path/')
+      |    ELSE concat('https://User@host-', CAST(o_custkey % 50 AS VARCHAR), '.example:443/Path/') END,
+      |    CAST(o_orderkey AS VARCHAR),
+      |    CASE WHEN o_orderkey % 3 = 0 THEN '#frag' ELSE '' END) AS url
+      |  FROM orders),
+      |p AS (SELECT url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+      |q AS (SELECT url, nofrag,
+      |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |  regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS authraw,
+      |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS tail
+      |  FROM p)
+      |SELECT url,
+      |  concat(scheme, '://',
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(lower(authraw), ':80$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(lower(authraw), ':443$', '')
+      |         ELSE lower(authraw) END,
+      |    CASE WHEN tail = '' THEN '/' ELSE tail END) AS canon,
+      |  lower(regexp_replace(regexp_replace(authraw, '^[^@]*@', ''), ':[0-9]+$', '')) AS host
+      |FROM q ORDER BY url""".stripMargin
 
   private val ExecStatsSql: String = {
     val pr = pagerankSql(OrdersEdgesSql, supersteps = 8, weighted = false)

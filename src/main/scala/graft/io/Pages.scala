@@ -108,6 +108,53 @@ object Pages {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Lowercased host of a url: the authority component with userinfo and
+    * port stripped; empty string when the url has no `scheme://` authority.
+    * Pure single-match regexps (whole-stage codegen, and replayable
+    * bit-identically by an ANSI-SQL oracle — every pattern can match at
+    * most once, so Spark's replace-all and DuckDB's replace-first agree). */
+  def hostOf(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    lower(regexp_replace(regexp_replace(auth, "^[^@]*@", ""), ":[0-9]+$", ""))
+  }
+
+  /** Canonical form of an absolute url, the normalization a crawl dedup
+    * keys on (cf. RFC 3986 §6.2.2-6.2.3 syntax-based normalization):
+    * fragment stripped, scheme and authority lowercased, default port
+    * (:80 http / :443 https) dropped, empty path replaced by "/".
+    * Path/query case and encoding are preserved — they are significant.
+    * Same single-match-regexp discipline as [[hostOf]]. */
+  def canonicalizeUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth   = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val tail   = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val authNoPort =
+      when(scheme === "http", regexp_replace(auth, ":80$", ""))
+        .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    when(scheme === "", url) // not an absolute url: leave untouched
+      .otherwise(concat(scheme, lit("://"), authNoPort,
+        when(tail === "", lit("/")).otherwise(tail)))
+  }
+
+  /** Aggregate a page-level link table `(url, href)` into a host-level edge
+    * table `(src_host, dst_host, weight, pages)`: weight = number of page
+    * links between the host pair, pages = distinct linking pages. This is
+    * the Common-Crawl "host graph" derivation (page graph -> host graph);
+    * at 100 TB it is ONE map-side-combined groupBy whose key cardinality is
+    * |hosts|^2-bounded (in practice ~linear in hosts), so the shuffle
+    * carries host-pair partials, never page rows. */
+  def hostGraph(links: DataFrame): DataFrame =
+    links
+      .select(hostOf(col("url")).as("src_host"),
+              hostOf(col("href")).as("dst_host"),
+              col("url"))
+      .filter(col("src_host") =!= "" && col("dst_host") =!= "")
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("weight"),
+           countDistinct(col("url")).as("pages"))
+
   /** Extract outgoing hrefs from raw html bytes. Returns (url, href) rows. */
   def extractLinks(pages: DataFrame): DataFrame =
     pages

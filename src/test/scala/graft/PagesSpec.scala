@@ -59,4 +59,47 @@ class PagesSpec extends AnyFunSuite with SparkTestBase {
     assert(t.forall(s => !s.contains("<") && !s.contains(">")))
     assert(t.forall(_.nonEmpty))
   }
+
+  test("hostOf strips scheme, userinfo, port and lowercases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq(
+      "https://Example.COM/a/b",
+      "http://user:pw@Host.example:8080/x?q=1#f",
+      "ftp://H.example",
+      "not-a-url",
+      "https://h.example:443").toDF("url")
+      .select(Pages.hostOf(col("url"))).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("example.com", "host.example", "h.example", "", "h.example"))
+  }
+
+  test("canonicalizeUrl: fragment/default-port/case normalization, path preserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      "HTTP://Host.Example:80/Path/One#frag" -> "http://host.example/Path/One",
+      "https://H.example:443"                -> "https://h.example/",
+      "https://h.example:8443/a"             -> "https://h.example:8443/a",
+      "http://h.example:8080/a?Q=Z#x"        -> "http://h.example:8080/a?Q=Z",
+      "relative/path"                        -> "relative/path")
+    val got = cases.map(_._1).toDF("url")
+      .select(Pages.canonicalizeUrl(col("url"))).collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("hostGraph aggregates page links to host pairs") {
+    import spark.implicits._
+    val links = Seq(
+      ("https://a.example/1", "https://b.example/x"),
+      ("https://a.example/1", "https://b.example/y"),
+      ("https://a.example/2", "https://b.example/x"),
+      ("https://a.example/3", "https://c.example/z"),
+      ("https://a.example/4", "mailto:nobody")) // no authority: dropped
+      .toDF("url", "href")
+    val got = Pages.hostGraph(links).orderBy("dst_host").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("a.example", "b.example", 3L, 2L),
+      ("a.example", "c.example", 1L, 1L)))
+  }
 }
