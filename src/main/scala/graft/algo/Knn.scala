@@ -83,10 +83,13 @@ object Knn {
     if (cfg.localTailThreshold >= 0L && n0 <= cfg.localTailThreshold)
       return runLocal(vectors, cfg, idCol, vecCol)
     // shuffle width sized by WORK, not rows: candidate scoring is
-    // O(n·(2k)²·dim), so ~100 vectors per partition keeps every core busy
-    // on mid-size corpora while tiny unit-test corpora still skip the
-    // 32-way scheduling overhead; large corpora use the session's width
-    val parts = math.max(2, math.min(sessionParts, (n0 / 100L).toInt + 1))
+    // O(n·(2k)²·dim), so ~400 vectors per partition is still only ~40 ms of
+    // pair scoring at k=20/dim=64 — fine-grained enough to keep cores busy
+    // on mid-size corpora while small corpora skip the per-stage scheduling
+    // tax of a wide shuffle (each NN-descent round runs ~6 stages, so width
+    // overhead is paid many times per run); large corpora use the session's
+    // width
+    val parts = math.max(2, math.min(sessionParts, (n0 / 400L).toInt + 1))
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try runWithParts(vectors, cfg, idCol, vecCol, parts)
