@@ -804,6 +804,46 @@ object SparkEntry {
         .toDF("top_pairs", "cross_cluster", "already_edges", "bad_prob",
           "train_acc_ok", "test_acc_ok")
     }),
+    "q_lp_pipeline" -> ((s, dir) => {
+      // staged link-prediction pipeline lifecycle (gds.alpha.ml.pipeline.
+      // linkPrediction.*): create -> addNodeProperty(degree) -> addFeature
+      // -> configureSplit -> configureParams(2 candidates, one deliberately
+      // underfit) -> train (model selection on the held-out split) ->
+      // predict. Validity projection: the winner must be the real
+      // candidate, accuracy bounded, top pairs intra-cluster non-edges.
+      val g = mlGraph(s)
+      val spark = s; import spark.implicits._
+      graft.ml.LinkPipeline.drop("lp_pipe")
+      graft.ml.ModelCatalog.drop("lp_pipe_model")
+      graft.ml.LinkPipeline.create("lp_pipe")
+      // fastRP mutate step feeds an L2 feature block: unit-norm embeddings
+      // keep every feature in [-2,2], so both LR candidates stay stable
+      graft.ml.LinkPipeline.addNodeProperty("lp_pipe", "fastRP", "frp",
+        Map("embeddingDimension" -> "8"))
+      graft.ml.LinkPipeline.addFeature("lp_pipe",
+        graft.ml.LinkPrediction.Combiner.Hadamard, Seq("emb"))
+      graft.ml.LinkPipeline.addFeature("lp_pipe",
+        graft.ml.LinkPrediction.Combiner.L2, Seq("frp"))
+      graft.ml.LinkPipeline.configureSplit("lp_pipe",
+        graft.ml.LinkPipeline.SplitCfg(testFraction = 0.25, seed = 7L))
+      graft.ml.LinkPipeline.configureParams("lp_pipe", Seq(
+        graft.ml.LogisticRegression.LrConfig(maxIterations = 1, learningRate = 0.01),
+        graft.ml.LogisticRegression.LrConfig(maxIterations = 120, learningRate = 1.0)))
+      val m = graft.ml.LinkPipeline.train(g, "lp_pipe", "lp_pipe_model")
+      val top = graft.ml.LinkPipeline.predict(g, "lp_pipe_model", 50).persist()
+      val badCluster = top.filter((col("src") < 150) =!= (col("dst") < 150)).count()
+      val existing = top.join(g.edges.select("src", "dst"), Seq("src", "dst"),
+        "left_semi").count()
+      val nTop = top.count()
+      top.unpersist(false)
+      val inCatalog = graft.ml.ModelCatalog.exists("lp_pipe_model")
+      graft.ml.LinkPipeline.drop("lp_pipe")
+      graft.ml.ModelCatalog.drop("lp_pipe_model")
+      Seq((nTop, badCluster, existing, m.winner.toLong, m.dims.toLong,
+           m.testAccuracy >= 0.7, inCatalog))
+        .toDF("top_pairs", "cross_cluster", "already_edges", "winner",
+          "dims", "test_acc_ok", "in_catalog")
+    }),
     "q_graphsage" -> ((s, dir) => {
       // validity projection (SGD arithmetic engine-specific): dims, unit
       // norm, finiteness, determinism of the distributed forward pass, and
@@ -1663,6 +1703,10 @@ object SparkEntry {
       """SELECT CAST(50 AS BIGINT) AS top_pairs, CAST(0 AS BIGINT) AS cross_cluster,
         |  CAST(0 AS BIGINT) AS already_edges, CAST(0 AS BIGINT) AS bad_prob,
         |  true AS train_acc_ok, true AS test_acc_ok""".stripMargin,
+    "q_lp_pipeline" ->
+      """SELECT CAST(50 AS BIGINT) AS top_pairs, CAST(0 AS BIGINT) AS cross_cluster,
+        |  CAST(0 AS BIGINT) AS already_edges, CAST(1 AS BIGINT) AS winner,
+        |  CAST(11 AS BIGINT) AS dims, true AS test_acc_ok, true AS in_catalog""".stripMargin,
     "q_graphsage" ->
       """SELECT CAST(300 AS BIGINT) AS nodes, CAST(0 AS BIGINT) AS bad_dims,
         |  CAST(0 AS BIGINT) AS non_finite, CAST(0 AS BIGINT) AS bad_norm,

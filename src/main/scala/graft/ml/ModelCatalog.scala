@@ -87,6 +87,7 @@ object ModelCatalog {
     case _: LogisticRegression.LrModel   => "LogisticRegression"
     case _: NodeClassification.NcModel   => "NodeClassification"
     case _: LinkPrediction.LinkModel     => "LinkPrediction"
+    case _: LinkPipeline.PipelineModel   => "LinkPipeline"
     case _: GraphSage.GraphSageModel     => "GraphSage"
     case m => throw new IllegalArgumentException(s"Unsupported model type: ${m.getClass}")
   }
@@ -131,6 +132,29 @@ object ModelCatalog {
           ParamRow("dims", 0, 0, m.dims.toDouble, ""),
           ParamRow("trainAccuracy", 0, 0, m.trainAccuracy, ""),
           ParamRow("testAccuracy", 0, 0, m.testAccuracy, "")) ++ lrRows("lr", m.model)
+    case m: LinkPipeline.PipelineModel =>
+      // the stored artifact is the WINNING model plus the replayable recipe
+      // (node-property + feature steps + split); the candidate search space
+      // is not persisted — matching the reference, which stores the trained
+      // winner (pipeline/LinkPredictionTrain.java model selection)
+      Seq(ParamRow("pipelineName", 0, 0, 0.0, m.pipeline.name),
+          ParamRow("dims", 0, 0, m.dims.toDouble, ""),
+          ParamRow("winner", 0, 0, m.winner.toDouble, ""),
+          ParamRow("trainAccuracy", 0, 0, m.trainAccuracy, ""),
+          ParamRow("testAccuracy", 0, 0, m.testAccuracy, ""),
+          ParamRow("splitTest", 0, 0, m.pipeline.split.testFraction, ""),
+          ParamRow("splitRatio", 0, 0, m.pipeline.split.negativeSamplingRatio, ""),
+          ParamRow("splitSeed", 0, 0, m.pipeline.split.seed.toDouble, "")) ++
+        m.candidateTestAcc.zipWithIndex.map { case (a, i) =>
+          ParamRow("candAcc", i, 0, a, "") } ++
+        m.pipeline.nodePropertySteps.zipWithIndex.map { case (s, i) =>
+          ParamRow("npstep", i, 0, 0.0,
+            s"${s.proc}|${s.mutateProperty}|" +
+              s.config.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")) } ++
+        m.pipeline.featureSteps.zipWithIndex.map { case (s, i) =>
+          ParamRow("feature", i, 0, 0.0,
+            s"${s.combiner}|${s.nodeProperties.mkString(",")}") } ++
+        lrRows("lr", m.model)
     case m: GraphSage.GraphSageModel =>
       Seq(ParamRow("inputDim", 0, 0, m.inputDim.toDouble, "")) ++
         m.layers.zipWithIndex.flatMap { case (l, k) =>
@@ -157,6 +181,33 @@ object ModelCatalog {
       }
       LinkPrediction.LinkModel(lrFrom("lr", rows), combiner,
         scalar("dims").toInt, scalar("trainAccuracy"), scalar("testAccuracy"))
+    case "LinkPipeline" =>
+      def scalar(sec: String) = rows.find(_.section == sec).map(_.v).getOrElse(0.0)
+      def combinerOf(s: String) = s match {
+        case "L2"     => LinkPrediction.Combiner.L2
+        case "Cosine" => LinkPrediction.Combiner.Cosine
+        case _        => LinkPrediction.Combiner.Hadamard
+      }
+      val steps = rows.filter(_.section == "npstep").sortBy(_.i).map { r =>
+        val Array(proc, prop, cfg) = (r.s + "| ").split("\\|", 3)
+        LinkPipeline.NodePropertyStep(proc, prop,
+          cfg.trim.split(",").filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v
+          }.toMap)
+      }
+      val feats = rows.filter(_.section == "feature").sortBy(_.i).map { r =>
+        val Array(c, ps) = r.s.split("\\|", 2)
+        LinkPipeline.FeatureStep(combinerOf(c), ps.split(",").toSeq)
+      }
+      val pipe = LinkPipeline.Pipeline(
+        rows.find(_.section == "pipelineName").map(_.s).getOrElse(""),
+        steps.toSeq, feats.toSeq,
+        LinkPipeline.SplitCfg(scalar("splitTest"), scalar("splitRatio"),
+          scalar("splitSeed").toLong))
+      LinkPipeline.PipelineModel(pipe, lrFrom("lr", rows),
+        scalar("dims").toInt, scalar("winner").toInt,
+        rows.filter(_.section == "candAcc").sortBy(_.i).map(_.v).toSeq,
+        scalar("trainAccuracy"), scalar("testAccuracy"))
     case "GraphSage" =>
       val inputDim = rows.find(_.section == "inputDim").map(_.v.toInt).getOrElse(0)
       val layerIds = rows.flatMap(r => "^layer(\\d+)/".r.findFirstMatchIn(r.section)
