@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.algo._
 import graft.algo.{Hits, HitsConfig, K1Coloring, Paths}
 import graft.core.{GraphOps, Orientation, PropertyGraph}
-import graft.ops.{Ann, Dedup, Events, Multimodal, TextOps}
+import graft.ops.{Ann, Dedup, Events, Multimodal, Sampling, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -596,6 +596,30 @@ object SparkEntry {
       .orderBy("doc_id")),
     "q_fingerprint" -> ((s, dir) => table(s, dir, "documents")
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+    "q_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signals: duplicate-token fraction
+      // (pure array expression) + top-bigram occupancy (explode + doc-keyed
+      // aggregation). Exact SQL oracle.
+      val docs = table(s, dir, "documents")
+      val dup = docs.select(col("doc_id"),
+        TextOps.duplicateTokenFraction(col("text")).as("dup_token_frac"))
+      val top = TextOps.topNgramFraction(docs, "doc_id", "text", n = 2)
+        .select(col("id").as("doc_id"), col("top"), col("total"),
+          col("fraction").as("top_bigram_frac"))
+      dup.join(top, "doc_id").orderBy("doc_id")
+    }),
+    "q_sample" -> ((s, dir) =>
+      // deterministic Bernoulli sample: pure md5 draw, identical across
+      // partitionings/retries/engines. Exact oracle replays the draw.
+      Sampling.hashSample(table(s, dir, "documents"), Seq(col("doc_id")),
+        fraction = 0.25, seed = 11L)
+        .select("doc_id", "lang").orderBy("doc_id")),
+    "q_sample_stratified" -> ((s, dir) =>
+      // per-language fractions with a default for unlisted strata
+      Sampling.stratifiedSample(table(s, dir, "documents"), col("lang"),
+        Map("en" -> 0.1, "zh" -> 0.5), defaultFraction = 1.0,
+        Seq(col("doc_id")), seed = 7L)
+        .select("doc_id", "lang").orderBy("doc_id")),
     "q_jaccard_pairs" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
@@ -1623,6 +1647,34 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" -> {
+      val r6 = (e: String) => s"floor(($e) * 1000000.0 + 0.5 + 0.000001) / 1000000.0"
+      s"""WITH d AS (SELECT doc_id, text,
+         |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+         |w AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS ws FROM d),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(ws) < 2 THEN [norm]
+         |       ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END AS grams
+         |  FROM w),
+         |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |c AS (SELECT doc_id, gram, count(*) AS c FROM e GROUP BY 1, 2),
+         |t AS (SELECT doc_id, max(c) AS top, sum(c) AS total FROM c GROUP BY doc_id)
+         |SELECT w.doc_id,
+         |  CASE WHEN len(trim(w.text)) = 0 THEN 0.0
+         |       ELSE ${r6("1.0 - len(list_distinct(w.ws)) * 1.0 / len(w.ws)")} END AS dup_token_frac,
+         |  t.top, CAST(t.total AS BIGINT) AS total,
+         |  ${r6("t.top * 1.0 / t.total")} AS top_bigram_frac
+         |FROM w JOIN t ON t.doc_id = w.doc_id ORDER BY w.doc_id""".stripMargin
+    },
+    "q_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(concat_ws(':', doc_id, 11)), 1, 4) < '4000'
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(concat_ws(':', doc_id, 7)), 1, 4) <
+        |  CASE WHEN lang = 'en' THEN '199a' WHEN lang = 'zh' THEN '8000' ELSE 'g' END
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_stream" ->
       """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY fp""".stripMargin,

@@ -60,6 +60,35 @@ object TextOps {
     graft.core.Num.roundTo((lengthScore + punctScore + stopScore) / lit(3.0), 6)
   }
 
+  /** Fraction of whitespace tokens that repeat an earlier token — the
+    * Gopher-style "duplicate word fraction" repetition filter (Rae et al.
+    * 2021 §A1.1): 1 - distinct/total over normalized tokens; 0 for blank
+    * text. Pure array expression, no shuffle. */
+  def duplicateTokenFraction(text: Column): Column = {
+    val toks = split(normalize(text), " ")
+    graft.core.Num.roundTo(
+      when(length(trim(text)) === 0, lit(0.0))
+        .otherwise(lit(1.0) -
+          size(array_distinct(toks)).cast("double") / size(toks).cast("double")), 6)
+  }
+
+  /** Per-document share of n-gram occurrences taken by the single most
+    * frequent n-gram — the Gopher "top n-gram fraction" repetition filter.
+    * Distributed shape: one explode plus two aggregations KEYED BY DOC
+    * (map-side combinable, no cross-document shuffle growth), so at 100 TB
+    * the shuffle carries (doc, gram) partial counts bounded by document
+    * length, never corpus-wide state. Returns (id, top, total, fraction). */
+  def topNgramFraction(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    grams.groupBy("id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max("c").as("top"), sum("c").as("total"))
+      .select(col("id"), col("top"), col("total"),
+        graft.core.Num.roundTo(
+          col("top").cast("double") / col("total").cast("double"), 6).as("fraction"))
+  }
+
   /** Heuristic language ID: 'en' when ASCII-alpha dominated and stopword
     * density clears a threshold; 'non_latin' when most chars are outside
     * ASCII; otherwise 'latin_other'. Deterministic n-gram/stopword heuristic

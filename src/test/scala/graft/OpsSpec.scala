@@ -154,6 +154,46 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sessions == Map((7L, 1L) -> 2L, (7L, 2L) -> 1L, (9L, 1L) -> 1L))
   }
 
+  test("repetition signals: duplicate-token and top-bigram fractions") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "a b a b a"),        // tokens: 5, distinct 2 -> dup 0.6; bigrams: a b (x2), b a (x2) -> top 2/4
+      (2L, "x y z"),            // all distinct -> dup 0; bigrams x y, y z -> top 1/2
+      (3L, "w"),                // single word -> shingles fallback [w]
+      (4L, "  ")                // blank -> dup 0
+    ).toDF("doc_id", "text")
+    val dup = docs.select(col("doc_id"),
+      TextOps.duplicateTokenFraction(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dup(1L) == 0.6 && dup(2L) == 0.0 && dup(3L) == 0.0 && dup(4L) == 0.0)
+    val top = TextOps.topNgramFraction(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(top(1L) == ((2L, 4L, 0.5)))
+    assert(top(2L) == ((1L, 2L, 0.5)))
+    assert(top(3L) == ((1L, 1L, 1.0)))
+  }
+
+  test("deterministic sampling: reproducible, fraction-accurate, stratified") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val df = spark.range(2000).select(col("id"),
+      when(col("id") % 2 === 0, "en").otherwise("zh").as("lang"))
+    val a = Sampling.hashSample(df, Seq(col("id")), 0.25, 3L)
+    val b = Sampling.hashSample(df, Seq(col("id")), 0.25, 3L)
+    val na = a.count()
+    assert(na == b.count())
+    assert(a.except(b).count() == 0) // identical rows, not just counts
+    assert(math.abs(na / 2000.0 - 0.25) < 0.05, s"kept $na")
+    // different seed -> different (but same-sized-ish) sample
+    val c = Sampling.hashSample(df, Seq(col("id")), 0.25, 4L)
+    assert(a.except(c).count() > 0)
+    val s = Sampling.stratifiedSample(df, col("lang"),
+      Map("en" -> 0.0), defaultFraction = 1.0, Seq(col("id")), 5L)
+    assert(s.filter(col("lang") === "en").count() == 0)
+    assert(s.filter(col("lang") === "zh").count() == 1000)
+  }
+
   test("windowed counts work as a structured stream (memory sink)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
