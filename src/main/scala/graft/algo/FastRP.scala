@@ -92,7 +92,6 @@ object FastRP {
           .otherwise(l2normalize(transform(col("hsum"), v => v / col("indeg"))))
           .as("h"))
         .persist()
-      next.count()
       val prevState = state
       val prevAcc = acc
       state = next
@@ -100,6 +99,8 @@ object FastRP {
         .select(col("id"), zip_with(col("emb"), col("h"),
           (a, b) => a + lit(w) * b).as("emb"))
         .persist()
+      // one cache-populating job per round: evaluating acc fills BOTH the
+      // acc cache and (via the join) the new state's cache
       acc.count()
       prevState.unpersist(false)
       prevAcc.unpersist(false)

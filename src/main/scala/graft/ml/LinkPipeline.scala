@@ -99,6 +99,45 @@ object LinkPipeline {
       s"Unsupported node-property step: $other (supported: fastRP, pageRank, degree)")
   }
 
+  /** Memo of mutated vertex tables keyed by (graph identity, steps) — the
+    * Spark analogue of the reference executing node-property steps in MUTATE
+    * mode into the catalog's in-memory graph store, where a later predict
+    * over the same graph reads the already-written properties instead of
+    * recomputing them (pipeline/.../NodePropertyStepExecutor semantics).
+    * PropertyGraph is a case class of DataFrames (reference equality), so a
+    * hit requires the same graph object. Bounded LRU; evicted entries are
+    * unpersisted. */
+  private val mutatedCache =
+    new java.util.LinkedHashMap[(PropertyGraph, Seq[NodePropertyStep]), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(PropertyGraph, Seq[NodePropertyStep]), DataFrame]): Boolean = {
+        val evict = size() > 4
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
+
+  /** Mutated vertex table for (graph, steps), persisted; cached per graph
+    * object so train + predict over the same graph run the algorithms once. */
+  private def mutatedVertices(g: PropertyGraph,
+                              steps: Seq[NodePropertyStep]): DataFrame =
+    mutatedCache.synchronized {
+      val key = (g, steps)
+      val hit = mutatedCache.get(key)
+      if (hit != null) hit
+      else {
+        val v = applyNodeProperties(g, steps).vertices.persist()
+        mutatedCache.put(key, v)
+        v
+      }
+    }
+
+  /** Drop all memoized mutated vertex tables (test hygiene). */
+  def clearMutatedCache(): Unit = mutatedCache.synchronized {
+    val it = mutatedCache.values().iterator()
+    while (it.hasNext) { it.next().unpersist(false); it.remove() }
+  }
+
   /** Run every node-property step, joining each result column onto the
     * vertex table (the reference's mutate-mode execution into the in-memory
     * graph). */
@@ -159,22 +198,31 @@ object LinkPipeline {
     val p = get(pipelineName)
     require(p.featureSteps.nonEmpty,
       s"pipeline $pipelineName has no feature steps — call addFeature first")
-    val g = applyNodeProperties(graph, p.nodePropertySteps)
+    val spark = graph.edges.sparkSession
+    // node-property steps can be whole algorithms (FastRP, PageRank) whose
+    // plans are expensive to re-evaluate; the memoized mutated vertex table
+    // is read by every downstream job (both feature sides, dims probe,
+    // candidate training, accuracy evals) and shared with predict
+    val verts = mutatedVertices(graph, p.nodePropertySteps)
+    val g = graph.copy(vertices = verts)
     val nodes = g.vertices.select("id")
+    val nodeCount = nodes.count()
     val edges = g.edges.select("src", "dst").distinct()
+    // scope every shuffle below to the graph's size, not the session width
+    graft.core.GraphOps.withAdaptiveShuffle(spark, nodeCount) {
 
     // test split: holdout positives + sampled negatives; train split:
     // remaining positives + an independent negative draw (fraction 1.0
     // holdout over the remaining edges = all of them, with negatives)
     val s1 = SplitRelationships.split(edges, nodes,
       SplitRelationships.SplitConfig(p.split.testFraction,
-        p.split.negativeSamplingRatio, p.split.seed)).persist()
+        p.split.negativeSamplingRatio, p.split.seed, Some(nodeCount))).persist()
     val testPairs = s1.filter(col("split") === "holdout")
       .select(col("src"), col("dst"), col("label").as("y"))
     val trainPos = s1.filter(col("split") === "remaining").select("src", "dst")
     val s2 = SplitRelationships.split(trainPos, nodes,
       SplitRelationships.SplitConfig(1.0,
-        p.split.negativeSamplingRatio, p.split.seed + 1L))
+        p.split.negativeSamplingRatio, p.split.seed + 1L, Some(nodeCount)))
     val trainPairs = s2.filter(col("split") === "holdout")
       .select(col("src"), col("dst"), col("label").as("y"))
 
@@ -182,27 +230,33 @@ object LinkPipeline {
     val testDf  = pairFeatures(g.vertices, testPairs, p.featureSteps).persist()
     val dims = trainDf.select(size(col("features"))).first().getInt(0)
 
-    def accuracy(df: DataFrame, m: LogisticRegression.LrModel): Double = {
-      val prob = LogisticRegression.predictProb(col("features"), m)
-      val r = df.agg(
-        sum(when((prob >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L)).as("ok"),
-        count(lit(1)).as("n")).first()
-      if (r.getLong(1) == 0L) 1.0 else r.getLong(0).toDouble / r.getLong(1)
+    // all candidates' accuracies over one scan of df (model selection reads
+    // the held-out split once, not once per candidate)
+    def accuracies(df: DataFrame, ms: Seq[LogisticRegression.LrModel]): Seq[Double] = {
+      val oks = ms.zipWithIndex.map { case (m, i) =>
+        val prob = LogisticRegression.predictProb(col("features"), m)
+        sum(when((prob >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L)).as(s"ok$i")
+      }
+      val r = df.agg(oks.head, (oks.tail :+ count(lit(1)).as("n")): _*).first()
+      val n = r.getLong(ms.length)
+      ms.indices.map(i => if (n == 0L) 1.0 else r.getLong(i).toDouble / n)
     }
 
-    val trained = p.params.map(c =>
-      LogisticRegression.train(trainDf, "features", "y", dims, c))
-    val testAccs = trained.map(accuracy(testDf, _))
+    // one shared scan/collect for every candidate
+    val trained =
+      LogisticRegression.trainMany(trainDf, "features", "y", dims, p.params)
+    val testAccs = accuracies(testDf, trained)
     // winner = best validation accuracy, ties -> first candidate (stable)
     val winner = testAccs.zipWithIndex.maxBy { case (a, i) => (a, -i) }._2
     val best = trained(winner)
     val out = PipelineModel(p, best, dims, winner, testAccs,
-      accuracy(trainDf, best), testAccs(winner))
+      accuracies(trainDf, Seq(best)).head, testAccs(winner))
     trainDf.unpersist(false); testDf.unpersist(false); s1.unpersist(false)
     ModelCatalog.set(modelName, out, Map(
       "pipeline" -> p.name, "winner" -> winner.toString,
       "testAccuracy" -> out.testAccuracy.toString))
     out
+    }
   }
 
   /** Score candidate pairs on a (possibly raw) graph: node-property steps
@@ -211,7 +265,11 @@ object LinkPipeline {
   def predict(graph: PropertyGraph, modelName: String, topN: Int,
               candidates: Option[DataFrame] = None): DataFrame = {
     val m = ModelCatalog.get[PipelineModel](modelName)
-    val g = applyNodeProperties(graph, m.pipeline.nodePropertySteps)
+    // same graph object as train -> memo hit, node-property algorithms are
+    // not replayed (reference mutate-mode semantics: the properties already
+    // live on the in-memory graph)
+    val verts = mutatedVertices(graph, m.pipeline.nodePropertySteps)
+    val g = graph.copy(vertices = verts)
     val e = g.edges.select("src", "dst")
     val cand = candidates.getOrElse {
       e.as("a").join(e.as("b"), col("a.dst") === col("b.src"))

@@ -54,18 +54,41 @@ object LogisticRegression {
     * aggregation per iteration; converges when the relative loss improvement
     * drops below `tolerance` (the reference's stop criterion). */
   def train(data: DataFrame, featuresCol: String, labelCol: String, dims: Int,
-            cfg: LrConfig = LrConfig()): LrModel = {
+            cfg: LrConfig = LrConfig()): LrModel =
+    trainMany(data, featuresCol, labelCol, dims, Seq(cfg)).head
+
+  /** Train every candidate config on the SAME training set with the input
+    * scanned/collected once (the reference's model-selection loop trains all
+    * candidates on one split — LinkPredictionTrain.java's trainOnCandidates).
+    * One persist+count decides the local tail for all candidates; the local
+    * tail collects once and fits each candidate over the shared row array. */
+  def trainMany(data: DataFrame, featuresCol: String, labelCol: String,
+                dims: Int, cfgs: Seq[LrConfig]): Seq[LrModel] = {
+    require(cfgs.nonEmpty, "trainMany needs at least one candidate")
     val df = data.select(
         col(featuresCol).cast("array<double>").as("x"),
         col(labelCol).cast("double").as("y"))
       .persist()
     val n = df.count().toDouble
     require(n > 0, "empty training set")
-    if (cfg.localTailThreshold >= 0L && n <= cfg.localTailThreshold) {
-      val rows = df.collect().map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
-      df.unpersist(false)
-      return trainLocal(rows, dims, cfg)
+    val out = cfgs.map { cfg =>
+      if (cfg.localTailThreshold >= 0L && n <= cfg.localTailThreshold) null
+      else trainDistributed(df, dims, n, cfg)
     }
+    val models =
+      if (out.forall(_ != null)) out
+      else {
+        val rows = df.collect().map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+        cfgs.zip(out).map { case (cfg, m) =>
+          if (m != null) m else trainLocal(rows, dims, cfg)
+        }
+      }
+    df.unpersist(false)
+    models
+  }
+
+  private def trainDistributed(df: DataFrame, dims: Int, n: Double,
+                               cfg: LrConfig): LrModel = {
 
     var w = new Array[Double](dims)
     var b = 0.0
@@ -99,7 +122,6 @@ object LogisticRegression {
         done = math.abs(prev - loss) <= cfg.tolerance * math.max(math.abs(prev), 1e-12)
       }
     }
-    df.unpersist(false)
     LrModel(w, b, losses.toSeq)
   }
 

@@ -33,7 +33,10 @@ object SplitRelationships {
   final case class SplitConfig(
       holdoutFraction: Double,
       negativeSamplingRatio: Double = 1.0,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      /** caller-supplied |V| (skips the broadcast count subquery — useful
+        * when the caller splits repeatedly over the same node universe) */
+      nodeCount: Option[Long] = None)
 
   /** 4-hex-digit lexicographic threshold for `fraction` (quantized 1/65536).
     * fraction >= 1 yields "g" which sorts above every hex digest. */
@@ -66,11 +69,13 @@ object SplitRelationships {
         import org.apache.spark.sql.expressions.Window
         // broadcast 1-row node count: candidate targets range over the full
         // id universe like the reference's randomNodeId(graph)
-        val nc = broadcast(nodes.agg(count(lit(1)).as("__n")))
-        val ranked = holdPos
+        val withN: DataFrame => DataFrame = cfg.nodeCount match {
+          case Some(n) => _.withColumn("__n", lit(n))
+          case None => _.crossJoin(broadcast(nodes.agg(count(lit(1)).as("__n"))))
+        }
+        val ranked = withN(holdPos
           .withColumn("__r",
-            row_number().over(Window.partitionBy("src").orderBy("dst")).cast("long"))
-          .crossJoin(nc)
+            row_number().over(Window.partitionBy("src").orderBy("dst")).cast("long")))
         val cands = ranked
           .select(col("src"), explode(sequence(lit(1L), lit(nNeg))).as("__k"), col("__r"), col("__n"))
           .select(col("src"),
