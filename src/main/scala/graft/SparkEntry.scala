@@ -807,6 +807,31 @@ object SparkEntry {
       graft.ml.NodeClassification.predict(g, "emb", m)
         .select(col("id"), col("predictedClass").as("predicted_class"))
     }),
+    "q_nc_select" -> ((s, dir) => {
+      // NC model selection (reference NodeClassificationTrain.java:
+      // stratified k-fold CV over candidate params, winner = best mean
+      // validation metric, retrained on the train split). Candidate 0 is
+      // the null model (0 GD steps -> predicts the smallest class
+      // everywhere); candidate 1 learns the separable one-hot rule, so the
+      // winner, its perfect fold scores, and all holdout metrics are exact.
+      val g = mlGraph(s)
+      val m = graft.ml.NodeClassification.train(g, "emb", "cls",
+        graft.ml.NodeClassification.NcConfig(
+          params = Seq(
+            graft.ml.LogisticRegression.LrConfig(maxIterations = 0),
+            graft.ml.LogisticRegression.LrConfig(maxIterations = 120,
+              learningRate = 1.0)),
+          validationFolds = 3, metric = "F1_WEIGHTED"))
+      val stats = m.validationStats
+      val spark = s; import spark.implicits._
+      Seq((m.winner.toLong, stats.size.toLong,
+           stats(1).avg, stats(1).min, stats(1).max,
+           stats(0).avg < 0.5,
+           m.holdoutMetrics("ACCURACY"), m.holdoutMetrics("F1_WEIGHTED"),
+           m.holdoutMetrics("F1_MACRO"), m.trainAccuracy))
+        .toDF("winner", "n_candidates", "win_avg", "win_min", "win_max",
+          "null_model_worse", "acc", "f1_weighted", "f1_macro", "train_acc")
+    }),
     "q_link_prediction" -> ((s, dir) => {
       // validity projection: model quality bounds + structural properties of
       // the top-N scored pairs (the exact ranking depends on GD arithmetic,
@@ -1751,6 +1776,11 @@ object SparkEntry {
         |  CASE WHEN range < 150 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END
         |    AS predicted_class
         |FROM range(300)""".stripMargin,
+    "q_nc_select" ->
+      """SELECT CAST(1 AS BIGINT) AS winner, CAST(2 AS BIGINT) AS n_candidates,
+        |  1.0 AS win_avg, 1.0 AS win_min, 1.0 AS win_max,
+        |  true AS null_model_worse, 1.0 AS acc, 1.0 AS f1_weighted,
+        |  1.0 AS f1_macro, 1.0 AS train_acc""".stripMargin,
     "q_link_prediction" ->
       """SELECT CAST(50 AS BIGINT) AS top_pairs, CAST(0 AS BIGINT) AS cross_cluster,
         |  CAST(0 AS BIGINT) AS already_edges, CAST(0 AS BIGINT) AS bad_prob,

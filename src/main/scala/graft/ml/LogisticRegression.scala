@@ -125,6 +125,15 @@ object LogisticRegression {
     LrModel(w, b, losses.toSeq)
   }
 
+  /** Train directly on driver-held rows — the local tail exposed for
+    * callers that already collected a (bounded) training set, e.g. the
+    * cross-validation selection loop in [[NodeClassification]]. */
+  def trainOnRows(rows: Array[(Array[Double], Double)], dims: Int,
+                  cfg: LrConfig): LrModel = {
+    require(rows.nonEmpty, "empty training set")
+    trainLocal(rows, dims, cfg)
+  }
+
   /** Driver-local full-batch GD — the same margin fold (bias-seeded,
     * ascending dims), ±30 clamp, softplus loss, update and stop formulas
     * as the distributed scan (MlSpec asserts agreement). */

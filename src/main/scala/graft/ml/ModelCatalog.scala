@@ -125,7 +125,14 @@ object ModelCatalog {
     case m: NodeClassification.NcModel =>
       m.classes.zipWithIndex.map { case (c, i) => ParamRow("classes", i, 0, c.toDouble, "") } ++
         Seq(ParamRow("trainAccuracy", 0, 0, m.trainAccuracy, ""),
-            ParamRow("testAccuracy", 0, 0, m.testAccuracy, "")) ++
+            ParamRow("testAccuracy", 0, 0, m.testAccuracy, ""),
+            ParamRow("winner", 0, 0, m.winner.toDouble, "")) ++
+        m.validationStats.flatMap(s => Seq(
+          ParamRow("vstat/avg", s.candidate.toLong, 0, s.avg, ""),
+          ParamRow("vstat/min", s.candidate.toLong, 0, s.min, ""),
+          ParamRow("vstat/max", s.candidate.toLong, 0, s.max, ""))) ++
+        m.holdoutMetrics.toSeq.sortBy(_._1).map { case (k, v) =>
+          ParamRow("metric", 0, 0, v, k) } ++
         m.classes.flatMap(c => lrRows(s"cls:$c", m.models(c)))
     case m: LinkPrediction.LinkModel =>
       Seq(ParamRow("combiner", 0, 0, 0.0, m.combiner.toString),
@@ -169,9 +176,16 @@ object ModelCatalog {
     case "NodeClassification" =>
       val classes = rows.filter(_.section == "classes").sortBy(_.i).map(_.v.toLong)
       def scalar(sec: String) = rows.find(_.section == sec).map(_.v).getOrElse(0.0)
+      def vstatPart(part: String): Map[Long, Double] =
+        rows.filter(_.section == s"vstat/$part").map(r => r.i -> r.v).toMap
+      val (avgs, mins, maxs) = (vstatPart("avg"), vstatPart("min"), vstatPart("max"))
+      val vstats = avgs.keys.toSeq.sorted.map(ci =>
+        NodeClassification.CandidateStats(ci.toInt, avgs(ci), mins(ci), maxs(ci)))
+      val metrics = rows.filter(_.section == "metric").map(r => r.s -> r.v).toMap
       NodeClassification.NcModel(classes.toSeq,
         classes.map(c => c -> lrFrom(s"cls:$c", rows)).toMap,
-        scalar("trainAccuracy"), scalar("testAccuracy"))
+        scalar("trainAccuracy"), scalar("testAccuracy"),
+        scalar("winner").toInt, vstats, metrics)
     case "LinkPrediction" =>
       def scalar(sec: String) = rows.find(_.section == sec).map(_.v).getOrElse(0.0)
       val combiner = rows.find(_.section == "combiner").map(_.s).getOrElse("Hadamard") match {

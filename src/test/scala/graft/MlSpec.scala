@@ -100,6 +100,57 @@ class MlSpec extends AnyFunSuite with SparkTestBase {
     assert(preds.size == 80)
   }
 
+  test("node classification CV selection picks the trained candidate over the null model") {
+    val g = clusteredGraph(80)
+    // candidate 0: zero GD steps -> all-zero weights -> every margin ties at
+    // 0 -> argmax predicts the smallest class everywhere (F1 floor);
+    // candidate 1: the real model
+    val m = NodeClassification.train(g, "emb", "cls",
+      NodeClassification.NcConfig(
+        params = Seq(
+          LogisticRegression.LrConfig(maxIterations = 0),
+          LogisticRegression.LrConfig(maxIterations = 120, learningRate = 1.0)),
+        validationFolds = 3, metric = "F1_WEIGHTED"))
+    assert(m.winner == 1, s"winner ${m.winner}, stats ${m.validationStats}")
+    assert(m.validationStats.map(_.candidate) == Seq(0, 1))
+    assert(m.validationStats(1).avg > m.validationStats(0).avg)
+    assert(m.validationStats(1).min == 1.0 && m.validationStats(1).max == 1.0)
+    assert(m.holdoutMetrics("ACCURACY") == 1.0
+      && m.holdoutMetrics("F1_WEIGHTED") == 1.0
+      && m.holdoutMetrics("F1_MACRO") == 1.0, s"metrics ${m.holdoutMetrics}")
+    assert(m.trainAccuracy == 1.0 && m.testAccuracy == 1.0)
+  }
+
+  test("node classification CV: local selection loop matches the forced-distributed path") {
+    val g = clusteredGraph(60)
+    def cfg(threshold: Long) = NodeClassification.NcConfig(
+      params = Seq(
+        LogisticRegression.LrConfig(maxIterations = 0, localTailThreshold = threshold),
+        LogisticRegression.LrConfig(maxIterations = 40, learningRate = 1.0,
+          localTailThreshold = threshold)),
+      validationFolds = 2, metric = "F1_MACRO")
+    val local = NodeClassification.train(g, "emb", "cls", cfg(Long.MaxValue))
+    val dist  = NodeClassification.train(g, "emb", "cls", cfg(-1L))
+    assert(local.winner == dist.winner)
+    assert(local.validationStats == dist.validationStats,
+      s"${local.validationStats} vs ${dist.validationStats}")
+    assert(local.holdoutMetrics == dist.holdoutMetrics)
+  }
+
+  test("multiclass metrics from confusion counts") {
+    // 3 classes; confusion: class 0 perfect (2), class 1: 1 right / 1 -> 2,
+    // class 2: both predicted as 0
+    val conf = Map((0L, 0L) -> 2L, (1L, 1L) -> 1L, (1L, 2L) -> 1L,
+      (2L, 0L) -> 2L)
+    val classes = Seq(0L, 1L, 2L)
+    def m(n: String) = NodeClassification.computeMetric(n, classes, conf)
+    assert(m("ACCURACY") == 3.0 / 6.0)
+    // f1(0): tp=2 fp=2 fn=0 -> 4/6; f1(1): tp=1 fp=0 fn=1 -> 2/3; f1(2): tp=0 -> 0
+    assert(math.abs(m("F1_MACRO") - (4.0 / 6.0 + 2.0 / 3.0 + 0.0) / 3.0) < 1e-15)
+    assert(math.abs(m("F1_WEIGHTED") -
+      (2 * (4.0 / 6.0) + 2 * (2.0 / 3.0) + 2 * 0.0) / 6.0) < 1e-15)
+  }
+
   test("graphsage: loss decreases, embeddings are unit-norm and cluster-separating") {
     val g = clusteredGraph(60)
     val r = GraphSage.run(g, "emb", GraphSage.GraphSageConfig(

@@ -29,7 +29,12 @@ class ModelCatalogSpec extends AnyFunSuite with SparkTestBase {
   test("encode/decode roundtrips every model type exactly") {
     val lrm = lr(3)
     val nc = NodeClassification.NcModel(Seq(0L, 7L),
-      Map(0L -> lr(4), 7L -> lr(5)), 0.9375, 0.8125)
+      Map(0L -> lr(4), 7L -> lr(5)), 0.9375, 0.8125,
+      winner = 1,
+      validationStats = Seq(
+        NodeClassification.CandidateStats(0, 0.5, 0.25, 0.75),
+        NodeClassification.CandidateStats(1, 0.875, 0.8125, 0.9375)),
+      holdoutMetrics = Map("ACCURACY" -> 0.8125, "F1_MACRO" -> 0.75))
     val link = LinkPrediction.LinkModel(lr(6), LinkPrediction.Combiner.L2, 3, 1.0, 0.75)
     val sage = GraphSage.GraphSageModel(Seq(
       GraphSage.Layer(Array(Array(1.0, 2.0), Array(3.0, 4.0)),
@@ -47,6 +52,9 @@ class ModelCatalogSpec extends AnyFunSuite with SparkTestBase {
       && ncBack.trainAccuracy == nc.trainAccuracy && ncBack.testAccuracy == nc.testAccuracy
       && nc.classes.forall(c => ncBack.models(c).weights.sameElements(nc.models(c).weights)
         && ncBack.models(c).bias == nc.models(c).bias))
+    assert(ncBack.winner == nc.winner
+      && ncBack.validationStats == nc.validationStats
+      && ncBack.holdoutMetrics == nc.holdoutMetrics)
 
     val linkBack = rt(link, "LinkPrediction").asInstanceOf[LinkPrediction.LinkModel]
     assert(linkBack.combiner == link.combiner && linkBack.dims == link.dims
