@@ -1220,6 +1220,33 @@ object SparkEntry {
           r6(col("logp")).as("logp"))
         .orderBy("id")
     }),
+    "q_alpha_similarity" -> ((s, dir) => {
+      // alpha similarity PROC semantics (gds.alpha.similarity.*.stream):
+      // per-source topK (both directions, ties -> smaller node2), cutoff
+      // streams, euclidean = ascending distance. Exact SQL oracle: length-4
+      // integer vectors from c_custkey, same left-assoc fold order.
+      val c = table(s, dir, "customer").filter(col("c_custkey") <= 30)
+      val k = col("c_custkey")
+      val va = array((0 until 4).map(i => ((k * (i + 1)) % 17 + 1).cast("double")): _*)
+      val data = c.select(k.cast("long").as("id"), va.as("vec"))
+      import graft.algo.AlphaSimilarity
+      import graft.algo.AlphaSimilarity.{Metric, SimConfig}
+      def r6(x: org.apache.spark.sql.Column) = graft.core.Num.roundTo(x, 6)
+      val cosTop = AlphaSimilarity.stream(data, "id", "vec", Metric.Cosine,
+          SimConfig(topK = 3))
+        .select(lit("cosine").as("metric"), col("node1"), col("node2"),
+          r6(col("similarity")).as("similarity"))
+      val eucCut = AlphaSimilarity.stream(data, "id", "vec", Metric.Euclidean,
+          SimConfig(similarityCutoff = 6.0))
+        .select(lit("euclidean").as("metric"), col("node1"), col("node2"),
+          r6(col("similarity")).as("similarity"))
+      val peaCut = AlphaSimilarity.stream(data, "id", "vec", Metric.Pearson,
+          SimConfig(similarityCutoff = 0.5))
+        .select(lit("pearson").as("metric"), col("node1"), col("node2"),
+          r6(col("similarity")).as("similarity"))
+      cosTop.unionByName(eucCut).unionByName(peaCut)
+        .orderBy("metric", "node1", "node2")
+    }),
     "q_similarity_fns" -> ((s, dir) => {
       // gds.alpha.similarity.* scalar functions, exact SQL oracle: vector
       // metrics over integer-valued length-4 arrays, set metrics over small
@@ -1930,6 +1957,7 @@ object SparkEntry {
       s"WITH ${triangleBaseSql(DenseEdgesSql)}\nSELECT a, b, c FROM tri ORDER BY a, b, c",
     "q_wcc_threshold" -> wccThresholdSql(OrdersWeightedEdgesSql, rounds = 12, threshold = 4.0),
     "q_scale_properties" -> ScalePropertiesSql,
+    "q_alpha_similarity" -> AlphaSimilaritySql,
     "q_similarity_fns" -> SimilarityFnsSql,
     "q_linkpred_fns" -> LinkPredFnsSql,
     "q_split_rels" -> SplitRelsSql,
@@ -1979,6 +2007,59 @@ object SparkEntry {
   /** Vector metrics as explicit scalar arithmetic (integer-valued inputs →
     * bit-identical cross-engine), set metrics via DISTINCT unnest joins;
     * term order mirrors the Catalyst fold order (left-assoc). */
+  /** Pairwise alpha-similarity proc oracle: same left-assoc fold order as
+    * the engine's zip_with/aggregate expressions, so every double is
+    * bit-identical before the shared 6-digit rounding. */
+  private val AlphaSimilaritySql: String = {
+    val r6 = (e: String) => graft.core.Num.roundSql(e, 6)
+    s"""WITH v AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS id,
+       |    CAST((c_custkey * 1) % 17 + 1 AS DOUBLE) AS x1,
+       |    CAST((c_custkey * 2) % 17 + 1 AS DOUBLE) AS x2,
+       |    CAST((c_custkey * 3) % 17 + 1 AS DOUBLE) AS x3,
+       |    CAST((c_custkey * 4) % 17 + 1 AS DOUBLE) AS x4
+       |  FROM customer WHERE c_custkey <= 30),
+       |p AS (
+       |  SELECT a.id AS node1, b.id AS node2,
+       |    a.x1 AS ax1, a.x2 AS ax2, a.x3 AS ax3, a.x4 AS ax4,
+       |    b.x1 AS bx1, b.x2 AS bx2, b.x3 AS bx3, b.x4 AS bx4,
+       |    a.x1*b.x1 + a.x2*b.x2 + a.x3*b.x3 + a.x4*b.x4 AS dot,
+       |    sqrt(a.x1*a.x1 + a.x2*a.x2 + a.x3*a.x3 + a.x4*a.x4) AS na,
+       |    sqrt(b.x1*b.x1 + b.x2*b.x2 + b.x3*b.x3 + b.x4*b.x4) AS nb,
+       |    sqrt((a.x1-b.x1)*(a.x1-b.x1) + (a.x2-b.x2)*(a.x2-b.x2)
+       |       + (a.x3-b.x3)*(a.x3-b.x3) + (a.x4-b.x4)*(a.x4-b.x4)) AS dist,
+       |    (a.x1+a.x2+a.x3+a.x4)/4.0 AS ma, (b.x1+b.x2+b.x3+b.x4)/4.0 AS mb
+       |  FROM v a JOIN v b ON a.id <> b.id),
+       |cosr AS (
+       |  SELECT node1, node2,
+       |    CASE WHEN na*nb = 0 THEN 0.0 ELSE dot/(na*nb) END AS sim,
+       |    row_number() OVER (PARTITION BY node1
+       |      ORDER BY CASE WHEN na*nb = 0 THEN 0.0 ELSE dot/(na*nb) END DESC,
+       |               node2 ASC) AS r
+       |  FROM p),
+       |pear AS (
+       |  SELECT node1, node2,
+       |    (ax1-ma)*(bx1-mb) + (ax2-ma)*(bx2-mb)
+       |      + (ax3-ma)*(bx3-mb) + (ax4-ma)*(bx4-mb) AS cov,
+       |    sqrt((ax1-ma)*(ax1-ma) + (ax2-ma)*(ax2-ma)
+       |       + (ax3-ma)*(ax3-ma) + (ax4-ma)*(ax4-ma)) AS sa,
+       |    sqrt((bx1-mb)*(bx1-mb) + (bx2-mb)*(bx2-mb)
+       |       + (bx3-mb)*(bx3-mb) + (bx4-mb)*(bx4-mb)) AS sb
+       |  FROM p)
+       |SELECT metric, node1, node2, similarity FROM (
+       |  SELECT 'cosine' AS metric, node1, node2, ${r6("sim")} AS similarity
+       |  FROM cosr WHERE r <= 3
+       |  UNION ALL
+       |  SELECT 'euclidean', node1, node2, ${r6("dist")}
+       |  FROM p WHERE node1 < node2 AND dist <= 6.0
+       |  UNION ALL
+       |  SELECT 'pearson', node1, node2,
+       |    ${r6("CASE WHEN sa*sb = 0 THEN 0.0 ELSE cov/(sa*sb) END")}
+       |  FROM pear WHERE node1 < node2
+       |    AND (CASE WHEN sa*sb = 0 THEN 0.0 ELSE cov/(sa*sb) END) >= 0.5
+       |) ORDER BY metric, node1, node2""".stripMargin
+  }
+
   private val SimilarityFnsSql: String = {
     val a = (0 until 4).map(i => s"CAST((c_custkey * ${i + 1}) % 17 + 1 AS DOUBLE) AS a$i")
     val b = (0 until 4).map(i => s"CAST(((c_custkey + 1) * ${i + 2}) % 19 + 1 AS DOUBLE) AS b$i")

@@ -70,6 +70,12 @@ final class Gds(val spark: SparkSession) {
       catalog.create(name, PropertyGraph(spark.sql(vertexSql), spark.sql(edgeSql)), aggregation)
     def streamNodeProperties(name: String, properties: Seq[String]): DataFrame =
       catalog.get(name).vertices.select("id", properties: _*)
+    /** `gds.graph.streamNodeProperty` (singular proc form). */
+    def streamNodeProperty(name: String, property: String): DataFrame =
+      streamNodeProperties(name, Seq(property))
+    /** `gds.graph.streamRelationshipProperty` (singular proc form). */
+    def streamRelationshipProperty(name: String, property: String): DataFrame =
+      streamRelationshipProperties(name, Seq(property))
     /** `gds.graph.streamRelationshipProperties`: relationship triples with
       * the requested property columns (reference: proc/catalog/.../
       * GraphStreamRelationshipPropertiesProc.java). */
@@ -116,6 +122,11 @@ final class Gds(val spark: SparkSession) {
       ModelCatalog.store(spark, name, dir)
     def load(name: String, dir: String): ModelCatalog.ModelInfo =
       ModelCatalog.load(spark, name, dir)
+    /** `gds.alpha.model.delete`: remove the STORED snapshots of `name` from
+      * `dir` (the in-catalog registration, if any, is untouched — that is
+      * `drop`, matching the reference's delete/drop split). */
+    def delete(name: String, dir: String): Boolean =
+      ModelCatalog.deleteStored(name, dir)
   }
 
   object pageRank {
@@ -318,6 +329,31 @@ final class Gds(val spark: SparkSession) {
     def streamVectors(vectors: DataFrame, cfg: Knn.KnnConfig = Knn.KnnConfig(),
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
       Knn.run(vectors, cfg, idCol, vecCol).neighbors
+  }
+
+  /** `gds.alpha.ml.ann.stream` (reference: alpha/alpha-proc/.../
+    * ApproxNearestNeighborsProc.java — approximate per-node top-K over a
+    * node property, NN-descent under the hood, same as [[knn]]). */
+  object ann {
+    def stream(name: String, property: String,
+               cfg: Knn.KnnConfig = Knn.KnnConfig()): DataFrame =
+      knn.stream(name, property, cfg)
+  }
+
+  /** `gds.alpha.similarity.{cosine,euclidean,pearson,overlap}.{stream,stats}`
+    * — exact pairwise similarity over a node property vector/category list
+    * with the reference's topK / similarityCutoff knobs
+    * (graft.algo.AlphaSimilarity; quadratic-exact like the reference — the
+    * linear-at-scale paths are [[knn]]/[[ann]]). */
+  object alphaSimilarity {
+    def stream(name: String, property: String,
+               metric: AlphaSimilarity.Metric,
+               cfg: AlphaSimilarity.SimConfig = AlphaSimilarity.SimConfig()): DataFrame =
+      AlphaSimilarity.stream(catalog.get(name).vertices, "id", property, metric, cfg)
+    def stats(name: String, property: String,
+              metric: AlphaSimilarity.Metric,
+              cfg: AlphaSimilarity.SimConfig = AlphaSimilarity.SimConfig()): Row =
+      Modes.stats(stream(name, property, metric, cfg), "similarity")
   }
 
   /** gds.alpha.spanningTree / gds.alpha.kSpanningTree (reference:

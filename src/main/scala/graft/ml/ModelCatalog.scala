@@ -67,6 +67,16 @@ object ModelCatalog {
       inf.meta.map { case (k, v) => s"meta:$k" -> v })
   }
 
+  /** `gds.alpha.model.delete`: remove every STORED snapshot of `name`
+    * under `dir` (reference ModelDeleteProc — disk only; the in-catalog
+    * registration is `drop`'s job). Returns whether anything was deleted. */
+  def deleteStored(name: String, dir: String): Boolean = {
+    val d = new java.io.File(s"$dir/$name")
+    val existed = d.exists()
+    if (existed) org.apache.commons.io.FileUtils.deleteQuietly(d)
+    existed
+  }
+
   /** Load the latest stored snapshot of `name` from `dir` and register it. */
   def load(spark: SparkSession, name: String, dir: String): ModelInfo = {
     val snap = SnapshotStore.latest(s"$dir/$name")
