@@ -725,6 +725,25 @@ object SparkEntry {
       // computes.
       Dedup.minHashNearDuplicatesExact(table(s, dir, "documents"), "doc_id", "text",
         threshold = 0.8).orderBy("id_a", "id_b")),
+    "q_neardup_clusters" -> ((s, dir) => {
+      // near-dup CLUSTERS: WCC (min-id hash-min labels) over the verified
+      // LSH pair graph — transitive closure of pairwise near-duplication,
+      // the production "keep one per cluster" shape. Exact oracle: DuckDB
+      // recursive-CTE min-label reachability over the same brute-force
+      // >=0.8-Jaccard pair set.
+      Dedup.nearDupClusters(table(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8).orderBy("id")
+    }),
+    "q_contamination" -> ((s, dir) => {
+      // benchmark decontamination: exact 5-gram overlap of every document
+      // against a planted "benchmark" subset (doc_id % 7 == 0) — those docs
+      // must score contamination 1.0, disjoint docs 0. Exact SQL oracle
+      // (string-gram join; engine joins 64-bit gram hashes).
+      val docs = table(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 7 === 0).select("text")
+      graft.ops.TextOps.contamination(docs, "doc_id", "text", bench, "text", n = 5)
+        .orderBy("id")
+    }),
     "q_simhash_neardup" -> ((s, dir) => {
       // validity projection (simhash uses engine-specific xxhash64): with the
       // production shape — 4 bands of 16 bits, the corpus-scale-selective
@@ -1795,6 +1814,8 @@ object SparkEntry {
     "q_louvain_l1" -> louvainL1Sql(DenseEdgesSql),
     "q_louvain" -> "SELECT true AS partition_complete, true AS improves_singletons",
     "q_minhash_neardup" -> neardupJaccardSql(threshold = 0.8),
+    "q_neardup_clusters" -> nearDupClustersSql(threshold = 0.8),
+    "q_contamination" -> ContaminationSql,
     "q_simhash_neardup" -> "SELECT CAST(0 AS BIGINT) AS missed_true_pairs",
     "q_knn" ->
       "SELECT (SELECT count(*) FROM embeddings) AS nodes, true AS recall_ok",
@@ -2432,6 +2453,61 @@ object SparkEntry {
     * Dedup.shingles: normalized text, word 3-grams, whole text when < 3
     * words; filter applies to the 6dp-rounded value exactly like the Spark
     * side. */
+  /** Connected components over the brute-force >=threshold Jaccard pair
+    * graph via recursive min-label reachability — the independent replay of
+    * Dedup.nearDupClusters (LSH pairs + WCC hash-min labels). */
+  private def nearDupClustersSql(threshold: Double): String =
+    s"""WITH RECURSIVE norm AS (SELECT doc_id AS id,
+       |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+       |words AS (SELECT id, t, regexp_split_to_array(t, ' ') AS w FROM norm),
+       |sh AS (
+       |  SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i
+       |        FROM words WHERE len(w) >= 3)
+       |  UNION
+       |  SELECT DISTINCT id, t AS s FROM words WHERE len(w) < 3),
+       |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter i
+       |  JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+       |  WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= $threshold),
+       |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT id, id AS label FROM norm
+       |  UNION
+       |  SELECT u.b AS id, r.label FROM reach r JOIN und u ON u.a = r.id)
+       |SELECT CAST(id AS BIGINT) AS id, CAST(min(label) AS BIGINT) AS cluster
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  /** 5-gram contamination oracle: string-gram equi-join against the planted
+    * doc_id %% 7 benchmark subset (engine joins xxhash64 of the same grams). */
+  private val ContaminationSql: String =
+    s"""WITH norm AS (SELECT doc_id AS id,
+       |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+       |words AS (SELECT id, t, regexp_split_to_array(t, ' ') AS w FROM norm),
+       |sh AS (
+       |  SELECT DISTINCT id,
+       |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+       |  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 4)) AS i
+       |        FROM words WHERE len(w) >= 5)
+       |  UNION
+       |  SELECT DISTINCT id, t AS s FROM words WHERE len(w) < 5),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE id % 7 = 0),
+       |totals AS (SELECT id, count(*) AS total_ngrams FROM sh GROUP BY id),
+       |hits AS (SELECT sh.id, count(*) AS contaminated_ngrams
+       |         FROM sh JOIN bench ON sh.s = bench.s GROUP BY sh.id)
+       |SELECT CAST(t.id AS BIGINT) AS id,
+       |  CAST(COALESCE(h.contaminated_ngrams, 0) AS BIGINT) AS contaminated_ngrams,
+       |  CAST(t.total_ngrams AS BIGINT) AS total_ngrams,
+       |  ${graft.core.Num.roundSql(
+             "CAST(COALESCE(h.contaminated_ngrams, 0) AS DOUBLE) / t.total_ngrams", 6)}
+       |    AS contamination
+       |FROM totals t LEFT JOIN hits h ON h.id = t.id ORDER BY t.id""".stripMargin
+
   private def neardupJaccardSql(threshold: Double): String =
     s"""WITH norm AS (SELECT doc_id AS id,
        |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),

@@ -173,6 +173,40 @@ object Dedup {
 
   /** Exact word-set Jaccard between given candidate pairs (explode + join —
     * the portable-SQL formulation; shingle n-grams via `shingles` for n>1). */
+  /** Near-duplicate CLUSTERS: connected components over the verified
+    * near-dup pair graph, labeled by the smallest member doc id — the
+    * production dedup shape (pairs alone under-remove: A~B and B~C must
+    * collapse to ONE kept document even when A~C is below threshold).
+    * Composes the LSH pair generator with the engine's own WCC (hash-min
+    * label propagation — min-id labels are exactly the canonical
+    * representative convention). Returns (id, cluster) for EVERY doc;
+    * singletons map to themselves. */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 32, bands: Int = 16,
+                      threshold: Double = 0.8,
+                      shingleSize: Int = 3): DataFrame = {
+    val pairs = minHashNearDuplicatesExact(
+      docs, idCol, textCol, numHashes, bands, threshold, shingleSize)
+    val g = graft.core.PropertyGraph(
+      docs.select(col(idCol).cast("long").as("id")),
+      pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst")))
+    graft.algo.Wcc.run(g).components
+      .select(col("id"), col("componentId").as("cluster"))
+  }
+
+  /** One kept row per near-dup cluster (the cluster's min doc id), plus
+    * every surviving doc's original columns — `docs` after deduplication. */
+  def deduplicate(docs: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 32, bands: Int = 16,
+                  threshold: Double = 0.8,
+                  shingleSize: Int = 3): DataFrame = {
+    val keep = nearDupClusters(docs, idCol, textCol, numHashes, bands,
+        threshold, shingleSize)
+      .filter(col("id") === col("cluster")).select("id")
+    docs.join(keep.withColumnRenamed("id", idCol), idCol)
+  }
+
   def jaccardForPairs(docs: DataFrame, pairs: DataFrame,
                       idCol: String, textCol: String, n: Int = 1): DataFrame = {
     val words = docs.select(col(idCol).as("id"),

@@ -89,6 +89,38 @@ object TextOps {
           col("top").cast("double") / col("total").cast("double"), 6).as("fraction"))
   }
 
+  /** Benchmark decontamination: per-document overlap of exact word n-grams
+    * with a benchmark corpus (the GPT-3/PaLM 13-gram convention — docs
+    * sharing enough n-grams with an eval set are dropped from training
+    * data). Scale shape: one distinct n-gram hash per (doc, gram) plus ONE
+    * equi-join against the distinct benchmark gram set — the benchmark side
+    * is the small one (eval sets are tiny vs a 100-TB corpus) so Spark
+    * broadcasts it; the corpus side is never self-joined. Docs shorter than
+    * `n` words fall back to their whole normalized text as a single gram
+    * (Dedup.shingles), so short eval strings still match verbatim copies.
+    * Returns (id, contaminated_ngrams, total_ngrams, contamination). */
+  def contamination(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String,
+                    benchmark: org.apache.spark.sql.DataFrame,
+                    benchTextCol: String, n: Int = 13): org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+        explode(Dedup.shingles(col(textCol), n)).as("s"))
+      .distinct()
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val bench = benchmark
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("s"))
+      .select(xxhash64(col("s")).as("h"))
+      .distinct()
+    val totals = grams.groupBy("id").agg(count(lit(1)).as("total_ngrams"))
+    val hits = grams.join(bench, "h")
+      .groupBy("id").agg(count(lit(1)).as("contaminated_ngrams"))
+    totals.join(hits, Seq("id"), "left")
+      .na.fill(0L, Seq("contaminated_ngrams"))
+      .select(col("id"), col("contaminated_ngrams"), col("total_ngrams"),
+        graft.core.Num.roundTo(col("contaminated_ngrams").cast("double") /
+          col("total_ngrams").cast("double"), 6).as("contamination"))
+  }
+
   /** Heuristic language ID: 'en' when ASCII-alpha dominated and stopword
     * density clears a threshold; 'non_latin' when most chars are outside
     * ASCII; otherwise 'latin_other'. Deterministic n-gram/stopword heuristic

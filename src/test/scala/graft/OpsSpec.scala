@@ -32,6 +32,41 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("near-dup clusters collapse transitive chains; deduplicate keeps min ids") {
+    // 1~2 and 2~3 are each >=0.5 Jaccard but 1~3 is below it — the cluster
+    // must still collapse all three (transitivity via WCC), plus an exact
+    // dup pair (5,6) and singletons
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val mid  = ((1 to 30).map(i => s"tok$i") ++ (1 to 10).map(i => s"alt$i")).mkString(" ")
+    val far  = ((1 to 20).map(i => s"tok$i") ++ (1 to 20).map(i => s"alt$i")).mkString(" ")
+    val d = docs(1L -> base, 2L -> mid, 3L -> far,
+      4L -> (1 to 40).map(i => s"uniq$i").mkString(" "),
+      5L -> "small doc copy", 6L -> "small doc copy")
+    val clusters = Dedup.nearDupClusters(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L),
+      s"got $clusters")
+    val kept = Dedup.deduplicate(d, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L))
+  }
+
+  test("contamination flags benchmark n-gram overlap") {
+    val evalDoc  = (1 to 20).map(i => s"bench$i").mkString(" ")
+    val partial  = ((1 to 10).map(i => s"bench$i") ++ (1 to 10).map(i => s"own$i")).mkString(" ")
+    val clean    = (1 to 20).map(i => s"clean$i").mkString(" ")
+    val d = docs(1L -> evalDoc, 2L -> partial, 3L -> clean)
+    import spark.implicits._
+    val bench = Seq(evalDoc).toDF("text")
+    val r = TextOps.contamination(d, "doc_id", "text", bench, "text", n = 5)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    // verbatim copy: all 16 5-grams contaminated
+    assert(r(1L) == ((16L, 16L, 1.0)), s"got ${r(1L)}")
+    // partial: 5-grams fully inside the bench1..10 prefix are the first 6
+    assert(r(2L)._1 == 6L && r(2L)._2 == 16L, s"got ${r(2L)}")
+    assert(r(3L) == ((0L, 16L, 0.0)), s"got ${r(3L)}")
+  }
+
   test("simhash: near-identical docs within small hamming distance") {
     val base = (1 to 100).map(i => s"w$i").mkString(" ")
     val near = (1 to 98).map(i => s"w$i").mkString(" ") + " zzz"
