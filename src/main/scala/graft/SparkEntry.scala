@@ -725,6 +725,40 @@ object SparkEntry {
       // computes.
       Dedup.minHashNearDuplicatesExact(table(s, dir, "documents"), "doc_id", "text",
         threshold = 0.8).orderBy("id_a", "id_b")),
+    "q_c4_clean" -> ((s, dir) => {
+      // C4-style line cleaning audit over deterministic 8-word "lines"
+      // derived from the documents text: every third (doc,line) gets
+      // terminal punctuation, doc_id%31 docs get a planted blocklisted
+      // line. Exact per-line oracle (same keep rules in SQL).
+      val docs = table(s, dir, "documents")
+      val w = split(col("text"), " ")
+      def chunk(a: Int) = concat_ws(" ", slice(w, a, 8))
+      def mk(idx: Int, c: org.apache.spark.sql.Column) =
+        when(lit(idx) === 3 && col("doc_id") % 31 === 0,
+            lit("lorem ipsum dolor sit amet."))
+          .otherwise(when((col("doc_id") + idx) % 3 === 0, concat(c, lit(".")))
+            .otherwise(c))
+      val d = docs.select(col("doc_id"),
+        array(mk(0, chunk(1)), mk(1, chunk(9)), mk(2, chunk(17)), mk(3, chunk(25)))
+          .as("lines"))
+      graft.ops.TextOps.c4LineAudit(d, "doc_id", "lines")
+        .orderBy("id", "line_idx")
+    }),
+    "q_paragraph_dedup" -> ((s, dir) => {
+      // cross-corpus paragraph dedup: every group of 5 docs shares a planted
+      // header paragraph -> only the group leader keeps it (first occurrence
+      // = smallest (doc, position)); own-text chunks survive unless
+      // coincidentally identical. Exact per-paragraph oracle.
+      val docs = table(s, dir, "documents")
+      val w = split(col("text"), " ")
+      val par0 = concat(lit("shared header for group "),
+        (col("doc_id") - col("doc_id") % 5).cast("string"))
+      val d = docs.select(col("doc_id"),
+        array(par0, concat_ws(" ", slice(w, 1, 8)), concat_ws(" ", slice(w, 9, 8)))
+          .as("pars"))
+      graft.ops.Dedup.paragraphAudit(d, "doc_id", "pars")
+        .orderBy("id", "par_idx")
+    }),
     "q_neardup_clusters" -> ((s, dir) => {
       // near-dup CLUSTERS: WCC (min-id hash-min labels) over the verified
       // LSH pair graph — transitive closure of pairwise near-duplication,
@@ -1816,6 +1850,8 @@ object SparkEntry {
     "q_minhash_neardup" -> neardupJaccardSql(threshold = 0.8),
     "q_neardup_clusters" -> nearDupClustersSql(threshold = 0.8),
     "q_contamination" -> ContaminationSql,
+    "q_c4_clean" -> C4CleanSql,
+    "q_paragraph_dedup" -> ParagraphDedupSql,
     "q_simhash_neardup" -> "SELECT CAST(0 AS BIGINT) AS missed_true_pairs",
     "q_knn" ->
       "SELECT (SELECT count(*) FROM embeddings) AS nodes, true AS recall_ok",
@@ -2507,6 +2543,58 @@ object SparkEntry {
              "CAST(COALESCE(h.contaminated_ngrams, 0) AS DOUBLE) / t.total_ngrams", 6)}
        |    AS contamination
        |FROM totals t LEFT JOIN hits h ON h.id = t.id ORDER BY t.id""".stripMargin
+
+  /** C4 line-audit oracle: same derived lines, same keep rules, same reason
+    * precedence (blocklist > no_terminal_punct > too_short). */
+  private val C4CleanSql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS w FROM documents),
+      |c AS (SELECT doc_id,
+      |  COALESCE(array_to_string(w[1:8], ' '), '')   AS c0,
+      |  COALESCE(array_to_string(w[9:16], ' '), '')  AS c1,
+      |  COALESCE(array_to_string(w[17:24], ' '), '') AS c2,
+      |  COALESCE(array_to_string(w[25:32], ' '), '') AS c3
+      |  FROM d),
+      |l AS (
+      |  SELECT doc_id, idx AS line_idx,
+      |    CASE WHEN idx = 3 AND doc_id % 31 = 0 THEN 'lorem ipsum dolor sit amet.'
+      |         WHEN (doc_id + idx) % 3 = 0 THEN ch || '.'
+      |         ELSE ch END AS line
+      |  FROM (SELECT doc_id, unnest([c0, c1, c2, c3]) AS ch,
+      |               unnest([0, 1, 2, 3]) AS idx FROM c)),
+      |a AS (
+      |  SELECT doc_id AS id, line_idx, line,
+      |    len(regexp_split_to_array(trim(line), '\s+')) AS words,
+      |    regexp_matches(line, '[.!?"]\s*$') AS terminal,
+      |    (contains(line, 'lorem ipsum') OR contains(line, '{')
+      |      OR contains(line, 'javascript')) AS blocked
+      |  FROM l)
+      |SELECT CAST(id AS BIGINT) AS id, CAST(line_idx AS INT) AS line_idx, line,
+      |  (terminal AND words >= 5 AND NOT blocked) AS kept,
+      |  CASE WHEN blocked THEN 'blocklist'
+      |       WHEN NOT terminal THEN 'no_terminal_punct'
+      |       WHEN words < 5 THEN 'too_short'
+      |       ELSE 'kept' END AS reason
+      |FROM a ORDER BY id, line_idx""".stripMargin
+
+  /** Paragraph-dedup oracle: first corpus-wide occurrence per normalized
+    * fingerprint, first = smallest (doc, position) — the engine's
+    * min(struct) is the same lexicographic order as ORDER BY id, par_idx. */
+  private val ParagraphDedupSql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS w FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    unnest(['shared header for group ' || CAST(doc_id - doc_id % 5 AS VARCHAR),
+      |            COALESCE(array_to_string(w[1:8], ' '), ''),
+      |            COALESCE(array_to_string(w[9:16], ' '), '')]) AS par,
+      |    unnest([0, 1, 2]) AS par_idx
+      |  FROM d),
+      |f AS (
+      |  SELECT doc_id AS id, par_idx,
+      |    md5(trim(regexp_replace(lower(par), '\s+', ' ', 'g'))) AS fp
+      |  FROM p)
+      |SELECT CAST(id AS BIGINT) AS id, CAST(par_idx AS INT) AS par_idx,
+      |  (row_number() OVER (PARTITION BY fp ORDER BY id, par_idx) = 1) AS kept
+      |FROM f ORDER BY id, par_idx""".stripMargin
 
   private def neardupJaccardSql(threshold: Double): String =
     s"""WITH norm AS (SELECT doc_id AS id,

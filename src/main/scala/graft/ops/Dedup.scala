@@ -207,6 +207,35 @@ object Dedup {
     docs.join(keep.withColumnRenamed("id", idCol), idCol)
   }
 
+  /** Cross-corpus paragraph dedup (the C4 "three-sentence span" /
+    * RefinedWeb paragraph pass): every paragraph keeps exactly its FIRST
+    * occurrence corpus-wide, first = smallest (doc id, position). One
+    * fingerprint groupBy with map-side combine (no window, no global sort)
+    * + one equi-join back. Returns (id, par_idx, kept). */
+  def paragraphAudit(docs: DataFrame, idCol: String, parsCol: String): DataFrame = {
+    val pars = docs.select(col(idCol).as("id"),
+        posexplode(col(parsCol)).as(Seq("par_idx", "par")))
+      .withColumn("fp", TextOps.fingerprint(col("par")))
+    val first = pars.groupBy("fp")
+      .agg(min(struct(col("id"), col("par_idx"))).as("f"))
+      .select(col("fp"), col("f.id").as("__kid"), col("f.par_idx").as("__kidx"))
+    pars.join(first, "fp")
+      .select(col("id"), col("par_idx"),
+        (col("id") === col("__kid") && col("par_idx") === col("__kidx")).as("kept"))
+  }
+
+  /** [[paragraphAudit]] applied: surviving paragraphs reassembled in
+    * original order per document. Returns (id, paragraphs). */
+  def paragraphDedup(docs: DataFrame, idCol: String, parsCol: String): DataFrame = {
+    val pars = docs.select(col(idCol).as("id"),
+      posexplode(col(parsCol)).as(Seq("par_idx", "par")))
+    paragraphAudit(docs, idCol, parsCol).filter(col("kept"))
+      .join(pars, Seq("id", "par_idx"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("par_idx"), col("par")))).as("ps"))
+      .select(col("id"), transform(col("ps"), e => e.getField("par")).as("paragraphs"))
+  }
+
   def jaccardForPairs(docs: DataFrame, pairs: DataFrame,
                       idCol: String, textCol: String, n: Int = 1): DataFrame = {
     val words = docs.select(col(idCol).as("id"),

@@ -121,6 +121,48 @@ object TextOps {
           col("total_ngrams").cast("double"), 6).as("contamination"))
   }
 
+  /** C4-style heuristic line cleaning (Raffel et al. 2020 §2.2): audit each
+    * line of `linesCol: array<string>` — kept iff it ends in terminal
+    * punctuation, has at least `minWords` words, and contains no
+    * blocklisted substring; any blocklisted line also marks the whole
+    * document for removal (C4 drops pages containing "lorem ipsum" / curly
+    * braces outright). Pure per-line expressions after one posexplode — no
+    * shuffle at all until a caller aggregates. Returns
+    * (id, line_idx, line, kept, reason) with reason precedence
+    * blocklist > no_terminal_punct > too_short > kept. */
+  def c4LineAudit(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  linesCol: String, minWords: Int = 5,
+                  blocklist: Seq[String] = Seq("lorem ipsum", "{", "javascript"))
+      : org.apache.spark.sql.DataFrame = {
+    val e = docs.select(col(idCol).as("id"),
+      posexplode(col(linesCol)).as(Seq("line_idx", "line")))
+    val words    = size(split(trim(col("line")), "\\s+"))
+    val terminal = col("line").rlike("[.!?\"]\\s*$")
+    val blocked  = blocklist.map(b => col("line").contains(b)).reduce(_ || _)
+    e.select(col("id"), col("line_idx"), col("line"),
+      (terminal && words >= minWords && !blocked).as("kept"),
+      when(blocked, "blocklist")
+        .when(!terminal, "no_terminal_punct")
+        .when(words < minWords, "too_short")
+        .otherwise("kept").as("reason"))
+  }
+
+  /** [[c4LineAudit]] applied: kept lines reassembled in order, documents
+    * with any blocklisted line dropped entirely. Returns (id, lines). */
+  def c4Clean(docs: org.apache.spark.sql.DataFrame, idCol: String,
+              linesCol: String, minWords: Int = 5,
+              blocklist: Seq[String] = Seq("lorem ipsum", "{", "javascript"))
+      : org.apache.spark.sql.DataFrame = {
+    val audit = c4LineAudit(docs, idCol, linesCol, minWords, blocklist)
+    val docDrop = audit.groupBy("id")
+      .agg(max(when(col("reason") === "blocklist", 1).otherwise(0)).as("__blocked"))
+    audit.join(docDrop, "id")
+      .filter(col("__blocked") === 0 && col("kept"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("line_idx"), col("line")))).as("ls"))
+      .select(col("id"), transform(col("ls"), e => e.getField("line")).as("lines"))
+  }
+
   /** Heuristic language ID: 'en' when ASCII-alpha dominated and stopword
     * density clears a threshold; 'non_latin' when most chars are outside
     * ASCII; otherwise 'latin_other'. Deterministic n-gram/stopword heuristic

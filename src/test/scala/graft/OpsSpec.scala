@@ -51,6 +51,49 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Seq(1L, 4L, 5L))
   }
 
+  test("c4 line audit and clean: punctuation, length, blocklist, doc drop") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq("this line has enough words and ends well.",
+                "too short.",
+                "no terminal punctuation here at all",
+                "ok line with five words.")),
+      (2L, Seq("perfectly fine sentence with many words.",
+                "curly brace { poisons the whole document."))
+    ).toDF("doc_id", "lines")
+    val audit = TextOps.c4LineAudit(d, "doc_id", "lines")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getBoolean(3), r.getString(4))).toMap
+    assert(audit((1L, 0)) == ((true, "kept")))
+    assert(audit((1L, 1)) == ((false, "too_short")))
+    assert(audit((1L, 2)) == ((false, "no_terminal_punct")))
+    assert(audit((1L, 3)) == ((true, "kept")))
+    assert(audit((2L, 1)) == ((false, "blocklist")))
+    val cleaned = TextOps.c4Clean(d, "doc_id", "lines")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // doc 2 dropped entirely (blocklisted line); doc 1 keeps lines 0 and 3
+    assert(cleaned.keySet == Set(1L))
+    assert(cleaned(1L) == Seq("this line has enough words and ends well.",
+      "ok line with five words."))
+  }
+
+  test("paragraph dedup keeps only the first corpus-wide occurrence") {
+    import spark.implicits._
+    val d = Seq(
+      (10L, Seq("shared header", "own text of ten", "another own")),
+      (11L, Seq("shared header", "unique paragraph here")),
+      (12L, Seq("fresh start", "shared header"))
+    ).toDF("doc_id", "pars")
+    val audit = Dedup.paragraphAudit(d, "doc_id", "pars")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+    assert(audit((10L, 0)) && !audit((11L, 0)) && !audit((12L, 1)))
+    assert(audit((10L, 1)) && audit((10L, 2)) && audit((11L, 1)) && audit((12L, 0)))
+    val out = Dedup.paragraphDedup(d, "doc_id", "pars")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(10L) == Seq("shared header", "own text of ten", "another own"))
+    assert(out(11L) == Seq("unique paragraph here"))
+    assert(out(12L) == Seq("fresh start"))
+  }
+
   test("contamination flags benchmark n-gram overlap") {
     val evalDoc  = (1 to 20).map(i => s"bench$i").mkString(" ")
     val partial  = ((1 to 10).map(i => s"bench$i") ++ (1 to 10).map(i => s"own$i")).mkString(" ")
