@@ -117,10 +117,38 @@ object Dedup {
   def minHashNearDuplicatesExact(docs: DataFrame, idCol: String, textCol: String,
                                  numHashes: Int = 32, bands: Int = 16,
                                  threshold: Double = 0.8,
-                                 shingleSize: Int = 3): DataFrame = {
-    val cands = minHashCandidates(docs, idCol, textCol, numHashes, bands, shingleSize)
-    jaccardForPairs(docs, cands, idCol, textCol, n = shingleSize)
-      .filter(col("jaccard") >= lit(threshold))
+                                 shingleSize: Int = 3,
+                                 /** corpora above this many docs semi-join
+                                   * the exact-verify pass down to candidate
+                                   * docs; -1 forces the semi-join (parity
+                                   * tests). Below it, one fused plan
+                                   * re-shingles everything — cheaper until
+                                   * the shingle pass dominates. */
+                                 semiJoinThreshold: Long = 1000000L): DataFrame = {
+    val semiJoin = semiJoinThreshold < 0L ||
+      (semiJoinThreshold != Long.MaxValue && docs.count() > semiJoinThreshold)
+    if (!semiJoin) {
+      val cands = minHashCandidates(docs, idCol, textCol, numHashes, bands, shingleSize)
+      jaccardForPairs(docs, cands, idCol, textCol, n = shingleSize)
+        .filter(col("jaccard") >= lit(threshold))
+    } else {
+      // at-scale shape: the exact-Jaccard verify only needs the shingle
+      // sets of docs appearing in a candidate pair — at production dup
+      // rates a small fraction of a 100-TB corpus — so the second shingle
+      // pass is semi-joined down to candidates instead of re-shingling
+      // everything. Candidates are materialized once (they feed both the
+      // semi-join and the verify join).
+      val cands = minHashCandidates(docs, idCol, textCol, numHashes, bands, shingleSize)
+        .persist()
+      cands.count()
+      val candIds = cands.select(col("id_a").as(idCol))
+        .unionByName(cands.select(col("id_b").as(idCol))).distinct()
+      val candDocs = docs.join(candIds, Seq(idCol), "left_semi")
+      // cands stays pinned for the lifetime of the returned (lazy) plan,
+      // like minHashNearDuplicates' signature cache
+      jaccardForPairs(candDocs, cands, idCol, textCol, n = shingleSize)
+        .filter(col("jaccard") >= lit(threshold))
+    }
   }
 
   /** 64-bit SimHash of the word stream: bit b of the hash is set when the

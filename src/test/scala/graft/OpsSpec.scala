@@ -32,6 +32,18 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("minhash exact verify: forced semi-join path matches the fused path") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val near = (1 to 57).map(i => s"token$i").mkString(" ") + " tokenX tokenY tokenZ"
+    val far  = (1 to 60).map(i => s"other$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> near, 3L -> far, 4L -> base)
+    def run(thr: Long) = Dedup.minHashNearDuplicatesExact(d, "doc_id", "text",
+        threshold = 0.5, semiJoinThreshold = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(-1L) == run(Long.MaxValue))
+    assert(run(-1L).map(t => (t._1, t._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
   test("near-dup clusters collapse transitive chains; deduplicate keeps min ids") {
     // 1~2 and 2~3 are each >=0.5 Jaccard but 1~3 is below it — the cluster
     // must still collapse all three (transitivity via WCC), plus an exact
