@@ -154,6 +154,41 @@ class GdsApiSpec extends AnyFunSuite with SparkTestBase {
     gds.graph.drop("algos")
   }
 
+  test("alpha similarity / ann / singular property / model.delete facades") {
+    import spark.implicits._
+    val gds = graft.api.Gds(spark)
+    val vs = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(1.0, 0.0)),
+      (2L, Array(0.0, 1.0)), (3L, Array(0.6, 0.8))).toDF("id", "emb")
+    val es = Seq((0L, 1L)).toDF("src", "dst")
+    gds.graph.create("simg", vs, es)
+    // alpha similarity proc: cosine pair stream with cutoff
+    val pairs = gds.alphaSimilarity.stream("simg", "emb",
+      graft.algo.AlphaSimilarity.Metric.Cosine,
+      graft.algo.AlphaSimilarity.SimConfig(similarityCutoff = 0.99))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+    val st = gds.alphaSimilarity.stats("simg", "emb",
+      graft.algo.AlphaSimilarity.Metric.Cosine)
+    assert(st.getAs[Long]("count") == 6L)
+    // ann facade = knn over the vertex property
+    val ann = gds.ann.stream("simg", "emb",
+      graft.algo.Knn.KnnConfig(k = 1, maxIterations = 3))
+    assert(ann.count() == 4L)
+    // singular property stream forms
+    assert(gds.graph.streamNodeProperty("simg", "emb").columns.toSeq == Seq("id", "emb"))
+    // model.delete removes stored snapshots but not the catalog entry
+    val dir = Files.createTempDirectory("gds-model-del").toString
+    gds.model.set("delme", graft.ml.LogisticRegression.LrModel(Array(1.0), 0.5, Seq(0.1)))
+    gds.model.store("delme", dir)
+    assert(new java.io.File(s"$dir/delme").exists())
+    assert(gds.model.delete("delme", dir))
+    assert(!new java.io.File(s"$dir/delme").exists())
+    assert(gds.model.exists("delme") && !gds.model.delete("delme", dir))
+    gds.model.drop("delme")
+    gds.graph.drop("simg")
+  }
+
   test("orientation views: reverse and undirected degrees") {
     val g = graphOf(3, Seq(0L -> 1L, 0L -> 2L))
     val natural = collectMap(g.degrees(Orientation.Natural), "id", "degree")
