@@ -831,6 +831,41 @@ object SparkEntry {
         .select(graft.ops.TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("fp")
     }),
+    "q_minhash_stream" -> ((s, dir) => withStatePartitions(s, 8) {
+      // streaming MinHash-LSH near-dup detection over the documents table
+      // fed in two micro-batches (cross-batch bucket state exercised), then
+      // the batch exact-Jaccard verify over the streamed candidate set —
+      // banding miss probability < 1e-7, so the verified pairs equal the
+      // brute-force >=0.8 answer the oracle computes (same oracle as
+      // q_minhash_neardup).
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docsDf = table(s, dir, "documents").select("doc_id", "text")
+      val docs = docsDf.collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
+        .sortBy(_._1)
+      val input = MemoryStream[(Long, String)]
+      val withTs = input.toDS().toDF("doc_id", "text")
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      val stream = graft.streaming.StreamOps
+        .minHashCandidateStream(withTs, "doc_id", "text", "ts", watermark = "1 hour")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("q_minhash_stream_out").start()
+      try {
+        val (a, b) = docs.splitAt(docs.length / 2)
+        input.addData(a.toSeq); stream.processAllAvailable()
+        input.addData(b.toSeq); stream.processAllAvailable()
+      } finally stream.stop()
+      // re-root the (small) candidate set: the memory-sink view is referenced
+      // twice inside jaccardForPairs and MemoryPlan attributes don't re-alias
+      val cands = s.table("q_minhash_stream_out")
+        .select(col("id_a"), col("id_b")).distinct()
+        .as[(Long, Long)].collect().toSeq.toDF("id_a", "id_b")
+      graft.ops.Dedup.jaccardForPairs(docsDf, cands, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("id_a", "id_b")
+    }),
     "q_fastrp" -> ((s, dir) => {
       // validity projection (the RNG stream is engine-specific): dimensions,
       // finiteness, unit-norm rounds for connected nodes, determinism across
@@ -1848,6 +1883,7 @@ object SparkEntry {
     "q_louvain_l1" -> louvainL1Sql(DenseEdgesSql),
     "q_louvain" -> "SELECT true AS partition_complete, true AS improves_singletons",
     "q_minhash_neardup" -> neardupJaccardSql(threshold = 0.8),
+    "q_minhash_stream" -> neardupJaccardSql(threshold = 0.8),
     "q_neardup_clusters" -> nearDupClustersSql(threshold = 0.8),
     "q_contamination" -> ContaminationSql,
     "q_c4_clean" -> C4CleanSql,

@@ -104,6 +104,82 @@ object StreamOps {
         })
   }
 
+  final case class BandRow(id: Long, ts: Timestamp, band: Int, bucket: Long)
+  final case class BucketState(ids: Array[Long], lastUs: Long)
+
+  /** Streaming MinHash-LSH near-duplicate DETECTION: each arriving
+    * document's banded signature buckets are matched against the keyed
+    * state of earlier documents in the same bucket; every shared bucket
+    * emits a candidate pair. Downstream (batch or the caller) dedups pairs
+    * across bands and exact-verifies — the same candidates→verify split as
+    * `Dedup.minHashNearDuplicatesExact`.
+    *
+    * Parity with the batch path: the signature is the SAME arithmetic as
+    * `Dedup.minHashSignature` — shingle-hash once, re-hash the 8-byte long
+    * per permutation, min — but expressed per ROW (`transform`/`array_min`
+    * over the row's own shingle array) instead of explode+groupBy, because
+    * an aggregation before keyed state is not appendable on a stream; a
+    * doc's shingles all live in its row, so no shuffle is needed at all
+    * until the bucket grouping. StreamingSpec asserts the emitted candidate
+    * set equals `Dedup.minHashCandidates` exactly.
+    *
+    * Scale shape: state shards by (band, bucket) key across executors;
+    * each bucket holds at most `maxBucketSize` doc ids (hot buckets stop
+    * absorbing new members — metric-visible degradation, like the banding
+    * assumption itself) and expires via event-time timeout once the
+    * watermark passes its last member + `stateHorizonSeconds`, so state is
+    * O(docs in horizon × bands), never O(stream). */
+  def minHashCandidateStream(docs: DataFrame, idCol: String, textCol: String,
+                             tsCol: String, numHashes: Int = 32,
+                             bands: Int = 16, shingleSize: Int = 3,
+                             watermark: String = "1 hour",
+                             stateHorizonSeconds: Long = 3600L,
+                             maxBucketSize: Int = 1024): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    val hs = transform(graft.ops.Dedup.shingles(col(textCol), shingleSize),
+      s => xxhash64(s))
+    val sig = array((0 until numHashes).map(p =>
+      array_min(transform(col("__hs"), h => xxhash64(h, lit(p))))): _*)
+    val buckets = array((0 until bands).map { b =>
+      xxhash64(concat_ws(",", slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)))
+    }: _*)
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"), col(tsCol).cast("timestamp").as("ts"),
+        hs.as("__hs"))
+      .withColumn("__sig", sig)
+      .withWatermark("ts", watermark)
+      .select(col("id"), col("ts"), posexplode(buckets).as(Seq("band", "bucket")))
+      .as[BandRow]
+
+    banded.groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long), it: Iterator[BandRow], state: GroupState[BucketState]) => {
+          if (!it.hasNext) { state.remove(); Iterator.empty }
+          else {
+            // batch slices may arrive unsorted; id order makes the
+            // earlier-member set deterministic within a batch
+            val rows = it.toArray.sortBy(_.id)
+            var ids = state.getOption.map(_.ids.toVector).getOrElse(Vector.empty)
+            var lastUs = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
+            val out = Seq.newBuilder[(Long, Long)]
+            for (r <- rows) {
+              for (e <- ids if e != r.id)
+                out += ((math.min(e, r.id), math.max(e, r.id)))
+              if (ids.length < maxBucketSize) ids = ids :+ r.id
+              lastUs = math.max(lastUs, tsMicros(r.ts))
+            }
+            state.update(BucketState(ids.toArray, lastUs))
+            state.setTimeoutTimestamp(
+              math.floorDiv(lastUs + stateHorizonSeconds * 1000000L + 999L, 1000L))
+            out.result().iterator
+          }
+        })
+      .toDF("id_a", "id_b")
+  }
+
   /** Streaming exact dedup: first-seen document per normalized-text
     * fingerprint. Watermarked `dropDuplicates` keeps per-fingerprint state
     * only until the watermark passes it — bounded state on an unbounded

@@ -78,4 +78,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val kept = spark.sql("SELECT doc_id FROM dedupout").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L, 4L))
   }
+
+  test("minHashCandidateStream: streamed candidate set equals the batch LSH candidates") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // planted near-dups (1,2) and (5,6); 3/4 unrelated
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val near = (1 to 57).map(i => s"token$i").mkString(" ") + " tokenX tokenY tokenZ"
+    val corpus = Seq(
+      1L -> base, 2L -> near,
+      3L -> (1 to 60).map(i => s"other$i").mkString(" "),
+      4L -> (1 to 60).map(i => s"word$i").mkString(" "),
+      5L -> "dup dup text here we go again and again",
+      6L -> "dup dup text here we go again and again")
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamOps.minHashCandidateStream(
+        input.toDS().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("mhcout").start()
+
+    // split across micro-batches so cross-batch bucket state is exercised:
+    // doc 2 (near-dup of 1) and doc 6 (dup of 5) arrive in the second batch
+    val (a, b) = corpus.splitAt(3)
+    input.addData(a.map { case (i, t) => (i, ts(i), t) })
+    q.processAllAvailable()
+    input.addData(b.map { case (i, t) => (i, ts(i), t) })
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql("SELECT DISTINCT id_a, id_b FROM mhcout")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ops.Dedup.minHashCandidates(
+        corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    assert(streamed.contains((1L, 2L)) && streamed.contains((5L, 6L)))
+  }
 }
