@@ -831,6 +831,27 @@ object SparkEntry {
         .select(graft.ops.TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("fp")
     }),
+    "q_quantize" -> ((s, dir) => {
+      // int8 scalar quantization digest: per-vector scale + integer code
+      // sums — codes replay bit-for-bit in SQL (round-half-up floor form).
+      val e = table(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val qz = graft.ops.Ann.scalarQuantize(e)
+      qz.select(col("id").as("vec_id"),
+          graft.core.Num.roundTo(col("scale"), 6).as("scale"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(transform(col("qvec"), x => (x * x).cast("long")),
+            lit(0L), (a, x) => a + x).as("q_l2"))
+        .orderBy("vec_id")
+    }),
+    "q_quantize_topk" -> ((s, dir) => {
+      // top-3 under QUANTIZED cosine: scales cancel, every score derives
+      // from exact integer dot products -> fully deterministic exact oracle
+      // (unlike float cosine, no summation-order noise at all).
+      val e = table(s, dir, "embeddings")
+      graft.ops.Ann.quantizedCosineTopK(
+          e.filter(col("vec_id") < 20), e.filter(col("vec_id") < 200), k = 3)
+        .orderBy("query_id", "rank")
+    }),
     "q_minhash_stream" -> ((s, dir) => withStatePartitions(s, 8) {
       // streaming MinHash-LSH near-dup detection over the documents table
       // fed in two micro-batches (cross-batch bucket state exercised), then
@@ -1884,6 +1905,43 @@ object SparkEntry {
     "q_louvain" -> "SELECT true AS partition_complete, true AS improves_singletons",
     "q_minhash_neardup" -> neardupJaccardSql(threshold = 0.8),
     "q_minhash_stream" -> neardupJaccardSql(threshold = 0.8),
+    "q_quantize" ->
+      s"""WITH $QuantizeCodesSql
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |  ${graft.core.Num.roundSql("scale", 6)} AS scale,
+         |  CAST(list_aggregate(list_transform(qv, q -> CAST(q AS BIGINT)), 'sum')
+         |    AS BIGINT) AS q_sum,
+         |  CAST(list_aggregate(list_transform(qv, q -> CAST(q AS BIGINT) * q), 'sum')
+         |    AS BIGINT) AS q_l2
+         |FROM codes ORDER BY vec_id""".stripMargin,
+    "q_quantize_topk" ->
+      s"""WITH $QuantizeCodesSql,
+         |pe AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    unnest(q.qv) AS a, unnest(c.qv) AS b
+         |  FROM codes q JOIN codes c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |ds AS (
+         |  SELECT query_id, neighbor_id,
+         |    sum(CAST(a AS BIGINT) * b) AS dot,
+         |    sum(CAST(a AS BIGINT) * a) AS na2,
+         |    sum(CAST(b AS BIGINT) * b) AS nb2
+         |  FROM pe GROUP BY query_id, neighbor_id),
+         |sims AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${graft.core.Num.roundSql(
+                 "CASE WHEN sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)) = 0 " +
+                 "THEN 0.0 ELSE CAST(dot AS DOUBLE) / " +
+                 "(sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) END", 6)}
+         |      AS qcosine
+         |  FROM ds),
+         |rk AS (
+         |  SELECT query_id, neighbor_id, qcosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY qcosine DESC, neighbor_id ASC) AS rank
+         |  FROM sims)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  CAST(neighbor_id AS BIGINT) AS neighbor_id, qcosine, CAST(rank AS INT) AS rank
+         |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q_neardup_clusters" -> nearDupClustersSql(threshold = 0.8),
     "q_contamination" -> ContaminationSql,
     "q_c4_clean" -> C4CleanSql,
@@ -2525,6 +2583,24 @@ object SparkEntry {
     * Dedup.shingles: normalized text, word 3-grams, whole text when < 3
     * words; filter applies to the 6dp-rounded value exactly like the Spark
     * side. */
+  /** Shared int8-quantization CTE (codes(vec_id, scale, qv)) — the exact
+    * arithmetic of Ann.scalarQuantize: per-vector scale max|x|/127,
+    * round-half-up codes via the cross-engine floor(x+0.5) form. */
+  private val QuantizeCodesSql: String =
+    """qz AS (
+      |  SELECT vec_id,
+      |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+      |      'max') / 127.0 AS scale,
+      |    embedding
+      |  FROM embeddings WHERE vec_id < 200),
+      |codes AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(embedding, x -> CAST(least(greatest(
+      |      CASE WHEN scale = 0 THEN 0.0
+      |           ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END,
+      |      -127.0), 127.0) AS INT)) AS qv
+      |  FROM qz)""".stripMargin
+
   /** Connected components over the brute-force >=threshold Jaccard pair
     * graph via recursive min-label reachability — the independent replay of
     * Dedup.nearDupClusters (LSH pairs + WCC hash-min labels). */

@@ -97,6 +97,58 @@ object Ann {
   /** Random-hyperplane signature: bit p = sign of Σ_d vec[d] * r(p, d) where
     * r is a deterministic ±1 pseudo-random derived from xxhash64(p, d).
     * Vectors with equal signatures land in one bucket. */
+  /** Symmetric int8 scalar quantization, per vector: scale = max|x|/127,
+    * q_i = round-half-up(x_i/scale) in [-127,127] (all-zero vectors get
+    * scale 0 and zero codes). At corpus scale the quantized table shuffles
+    * 4-8x fewer bytes than float64/float32 vectors, and COSINE is
+    * scale-invariant, so quantized search needs only integer dot products.
+    * Pure expressions; rounding is the cross-engine floor(x+0.5) form so a
+    * SQL oracle replays codes bit-for-bit. Returns (id, scale, qvec). */
+  def scalarQuantize(vectors: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    val q = transform(col("__v"), x =>
+      least(greatest(
+        when(col("__scale") === 0.0, lit(0.0)).otherwise(floor(x / col("__scale") + lit(0.5))),
+        lit(-127.0)), lit(127.0)).cast("int"))
+    vectors.select(col(idCol).as("id"), v.as("__v"), scale.as("__scale"))
+      .select(col("id"), col("__scale").as("scale"), q.as("qvec"))
+  }
+
+  /** Reconstruct approximate doubles from int8 codes. */
+  def dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, q => q.cast("double") * scale)
+
+  /** Exact top-k under QUANTIZED cosine: both sides int8-coded, similarity
+    * = integer dot / (sqrt of integer self-dots) — the scales cancel, so
+    * the whole score derives from exact integer arithmetic (deterministic
+    * and SQL-replayable, unlike float-sum order). Same broadcast + windowed
+    * top-k shape as [[bruteForceTopK]]. */
+  def quantizedCosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val q = scalarQuantize(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("qvec").as("qa"))
+    val c = scalarQuantize(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("qvec").as("qb"))
+    def selfDot(a: Column) = aggregate(
+      transform(a, x => (x * x).cast("long")), lit(0L), (s, x) => s + x)
+    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => (x * y).cast("long")),
+      lit(0L), (s, x) => s + x)
+    val denom = sqrt(selfDot(col("qa")).cast("double")) *
+      sqrt(selfDot(col("qb")).cast("double"))
+    val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.core.Num.roundTo(
+          when(denom === 0.0, lit(0.0)).otherwise(dot.cast("double") / denom), 6)
+          .as("qcosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("qcosine"), col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "qcosine", "rank")
+  }
+
   def hyperplaneBucket(vec: Column, planes: Int, seed: Long = 42L): Column = {
     val proj = (p: Int) => aggregate(
       zip_with(vec, sequence(lit(0), size(vec) - 1),

@@ -214,6 +214,33 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ivf == exact, s"ivf=$ivf exact=$exact")
   }
 
+  test("int8 quantization: codes bounded, round-trip error within scale/2, topk sane") {
+    import spark.implicits._
+    val vs = Seq(
+      (0L, Array(0.5, -1.0, 0.25, 0.0)),
+      (1L, Array(0.5, -1.0, 0.26, 0.0)),   // near-dup of 0
+      (2L, Array(-3.0, 3.0, 3.0, -3.0)),
+      (3L, Array(0.0, 0.0, 0.0, 0.0)))     // zero vector
+      .toDF("vec_id", "embedding")
+    val qz = Ann.scalarQuantize(vs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    // scale = max|x|/127; codes in [-127,127]; extreme elements hit ±127
+    assert(math.abs(qz(0L)._1 - 1.0 / 127.0) < 1e-15)
+    assert(qz(0L)._2 == Seq(64, -127, 32, 0))
+    assert(qz(2L)._2 == Seq(-127, 127, 127, -127))
+    assert(qz(3L)._1 == 0.0 && qz(3L)._2 == Seq(0, 0, 0, 0))
+    // round-trip |x - q*scale| <= scale/2
+    for ((id, (scale, codes)) <- qz; if id != 3L) {
+      val orig = vs.filter(col("vec_id") === id).collect()(0).getSeq[Double](1)
+      codes.zip(orig).foreach { case (q, x) =>
+        assert(math.abs(x - q * scale) <= scale / 2 + 1e-12, s"vec $id code $q vs $x") }
+    }
+    // quantized cosine finds the planted near-dup first
+    val top = Ann.quantizedCosineTopK(vs.filter(col("vec_id") === 0), vs, k = 1)
+      .collect()(0)
+    assert(top.getLong(1) == 1L && top.getDouble(2) > 0.99, s"got $top")
+  }
+
   test("multimodal plumbing: decode + features + frame sampling") {
     val media = Multimodal.synthMedia(spark, 30).persist()
     val dec = Multimodal.extractFeatures(Multimodal.decodeImages(media))
