@@ -1207,6 +1207,28 @@ object SparkEntry {
       graft.io.Pages.hostGraph(links).orderBy("src_host", "dst_host")
     }),
 
+    "q_anchor_text" -> ((s, dir) => {
+      // anchor-text extraction + per-target profile: html is BUILT by
+      // concat arithmetic, parsed back by the regex path, and the oracle
+      // derives (href, anchor) straight from the same arithmetic — the
+      // regex extraction is verified against arithmetic ground truth, not
+      // against itself.
+      val o = table(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      val url = concat(lit("https://h"), (col("o_custkey") % 20).cast("string"),
+        lit(".example/p/"), col("o_orderkey").cast("string"))
+      def target(t: org.apache.spark.sql.Column) =
+        concat(lit("https://t"), (t % 10).cast("string"),
+          lit(".example/d/"), t.cast("string"))
+      val t1 = col("o_orderkey") % 50
+      val t2 = (col("o_orderkey") * 3 + col("o_custkey")) % 50
+      val html = concat(
+        lit("<html><body><a href=\""), target(t1), lit("\">doc "),
+        t1.cast("string"), lit("</a> and <a href=\""), target(t2),
+        lit("\"> doc "), t2.cast("string"), lit(" </a></body></html>"))
+      val pages = o.select(url.as("url"), html.cast("binary").as("html"))
+      graft.io.Pages.anchorProfile(pages).orderBy("href", "anchor")
+    }),
+
     // --- spanning trees (exact oracle: path-with-heavy-chords graph) ---
     "q_spanning_tree" -> ((s, dir) => {
       // path edges weigh 1..7, every chord >= 10: by the cycle property the
@@ -2046,6 +2068,24 @@ object SparkEntry {
     "q_pages_wcc" -> "SELECT CAST(3000 AS BIGINT) AS nodes_total, true AS has_giant",
 
     "q_url_canon" -> UrlCanonSql,
+    "q_anchor_text" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey < 2000),
+        |r AS (
+        |  SELECT concat('https://h', CAST(o_custkey % 20 AS VARCHAR), '.example/p/',
+        |           CAST(o_orderkey AS VARCHAR)) AS url,
+        |    concat('https://t', CAST((o_orderkey % 50) % 10 AS VARCHAR), '.example/d/',
+        |           CAST(o_orderkey % 50 AS VARCHAR)) AS href,
+        |    concat('doc ', CAST(o_orderkey % 50 AS VARCHAR)) AS anchor
+        |  FROM o
+        |  UNION ALL
+        |  SELECT concat('https://h', CAST(o_custkey % 20 AS VARCHAR), '.example/p/',
+        |           CAST(o_orderkey AS VARCHAR)),
+        |    concat('https://t', CAST(((o_orderkey * 3 + o_custkey) % 50) % 10 AS VARCHAR),
+        |           '.example/d/', CAST((o_orderkey * 3 + o_custkey) % 50 AS VARCHAR)),
+        |    concat('doc ', CAST((o_orderkey * 3 + o_custkey) % 50 AS VARCHAR))
+        |  FROM o)
+        |SELECT href, anchor, count(*) AS n, count(DISTINCT url) AS pages
+        |FROM r GROUP BY href, anchor ORDER BY href, anchor""".stripMargin,
     "q_host_graph" ->
       """WITH l AS (SELECT
         |  concat('https://h', CAST(o_custkey % 40 AS VARCHAR), '.example/p/',

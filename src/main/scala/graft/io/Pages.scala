@@ -161,6 +161,29 @@ object Pages {
       .select(col("url"), explode(
         regexp_extract_all(col("html").cast("string"), lit("href=\"([^\"]*)\""), lit(1))).as("href"))
 
+  /** Extract anchor tags with their text from raw html bytes:
+    * (url, href, anchor) per `<a href="...">text</a>` occurrence, anchor
+    * whitespace-trimmed. Pure regexp expressions (the tag list per row,
+    * then one capture per field) — codegen'd, no UDF, and simple enough
+    * that Java and RE2 regex semantics agree. */
+  def extractAnchors(pages: DataFrame): DataFrame =
+    pages
+      .select(col("url"), explode(regexp_extract_all(col("html").cast("string"),
+        lit("<a href=\"[^\"]*\"[^>]*>[^<]*</a>"), lit(0))).as("__tag"))
+      .select(col("url"),
+        regexp_extract(col("__tag"), "<a href=\"([^\"]*)\"", 1).as("href"),
+        trim(regexp_extract(col("__tag"), ">([^<]*)</a>", 1)).as("anchor"))
+
+  /** Per-target anchor-text profile: for each linked url, each distinct
+    * anchor string pointing at it with occurrence and distinct-source
+    * counts — the classic link-graph relevance feature (anchor text
+    * describes the TARGET page). One map-side-combined groupBy; shuffle
+    * cardinality is |distinct (href, anchor)|, never page rows. */
+  def anchorProfile(pages: DataFrame): DataFrame =
+    extractAnchors(pages)
+      .groupBy(col("href"), col("anchor"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("url")).as("pages"))
+
   /** Project a page table into a PropertyGraph: vertex id = xxhash64(url)
     * (stable 64-bit ids, no dense IdMap needed — Dataset joins key on the
     * original id space; the reference instead builds an IdMap,

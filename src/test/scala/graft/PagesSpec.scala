@@ -102,4 +102,27 @@ class PagesSpec extends AnyFunSuite with SparkTestBase {
       ("a.example", "b.example", 3L, 2L),
       ("a.example", "c.example", 1L, 1L)))
   }
+
+  test("anchor extraction and per-target profile") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.example/1",
+        """<html><a href="https://t.example/x">  Buy Now </a><p>noise</p>""" +
+        """<a href="https://t.example/y" rel="nofollow">other</a></html>"""),
+      ("https://a.example/2",
+        """<a href="https://t.example/x">Buy Now</a>"""))
+      .toDF("url", "html_str")
+      .select(col("url"), col("html_str").cast("binary").as("html"))
+    val anchors = Pages.extractAnchors(pages).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(anchors == Set(
+      ("https://a.example/1", "https://t.example/x", "Buy Now"),
+      ("https://a.example/1", "https://t.example/y", "other"),
+      ("https://a.example/2", "https://t.example/x", "Buy Now")))
+    val profile = Pages.anchorProfile(pages).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // same anchor from two pages aggregates; trim unifies "  Buy Now "
+    assert(profile(("https://t.example/x", "Buy Now")) == ((2L, 2L)))
+    assert(profile(("https://t.example/y", "other")) == ((1L, 1L)))
+  }
 }
