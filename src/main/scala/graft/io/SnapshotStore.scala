@@ -78,6 +78,25 @@ object SnapshotStore {
     spark.read.parquet(latest(dir)
       .getOrElse(throw new IllegalStateException(s"No snapshot in $dir")).dataPath)
 
+  /** Iceberg-style snapshot expiration (`expire_snapshots`): delete all but
+    * the newest `keepLast` snapshots — manifest first is WRONG; data first
+    * is wrong too if a reader holds the manifest. Order used: delete the
+    * MANIFEST (atomic visibility removal), then the now-orphaned data dir —
+    * a concurrent reader that already resolved the dataPath may race the
+    * file delete, which is the same contract as Iceberg's expire. The
+    * latest snapshot is never deleted (`keepLast >= 1`). A long
+    * checkpointed run calls this per commit cadence so disk stays
+    * O(keepLast), not O(iterations). Returns the expired versions. */
+  def expire(dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val drop = snapshots(dir).dropRight(keepLast)
+    drop.map { s =>
+      Files.deleteIfExists(snapDir(dir).resolve(s"v${s.version}.json"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s.dataPath))
+      s.version
+    }
+  }
+
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val s = snapshots(dir).find(_.version == version)
       .getOrElse(throw new IllegalStateException(s"No snapshot v$version in $dir"))

@@ -46,6 +46,7 @@ final class Pregel private (graph: PropertyGraph) {
   private var maxIterations = 10
   private var checkpointDir: Option[String] = None
   private var checkpointInterval = 1
+  private var checkpointKeepLast = 0
   private var fusedSteps = 1
 
   /** Declare a state column: `init` over the vertex table's columns;
@@ -75,9 +76,14 @@ final class Pregel private (graph: PropertyGraph) {
   def setMaxIterations(n: Int): this.type = { maxIterations = n; this }
 
   /** Durable per-iteration snapshots (resume via [[SuperstepLoop.resume]]'s
-    * semantics — reuse the same dir to continue an interrupted run). */
-  def setCheckpointDir(dir: String, interval: Int = 1): this.type = {
-    checkpointDir = Some(dir); checkpointInterval = interval; this
+    * semantics — reuse the same dir to continue an interrupted run).
+    * `keepLast > 0` expires older snapshots after each commit
+    * ([[graft.io.SnapshotStore.expire]]) so disk stays O(keepLast) on long
+    * runs; 0 keeps the full history. */
+  def setCheckpointDir(dir: String, interval: Int = 1,
+                       keepLast: Int = 0): this.type = {
+    checkpointDir = Some(dir); checkpointInterval = interval
+    checkpointKeepLast = keepLast; this
   }
 
   /** Chain this many supersteps lazily per driver action (see
@@ -117,7 +123,8 @@ final class Pregel private (graph: PropertyGraph) {
     val result = SuperstepLoop.run(init, LoopConfig(
       maxSteps = maxIterations, checkpointDir = checkpointDir,
       checkpointInterval = checkpointInterval, fusedSteps = fusedSteps,
-      shuffleWidth = Some(width))) { (state, _) =>
+      shuffleWidth = Some(width),
+      checkpointKeepLast = checkpointKeepLast)) { (state, _) =>
       // Sender must be active (classic Pregel: halted vertices don't compute).
       // The sender of a dst-bound message is the edge's src and vice versa,
       // so each direction filters activity on its own endpoint.

@@ -65,7 +65,12 @@ final case class LoopConfig(
   disableAqeInLoop: Boolean = true,
   storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
   fusedSteps: Int = 1,
-  shuffleWidth: Option[Int] = None)
+  shuffleWidth: Option[Int] = None,
+  /** when > 0, expire all but this many snapshots after each checkpoint
+    * commit (SnapshotStore.expire) so a long run's disk stays O(keepLast),
+    * not O(iterations); 0 keeps every snapshot (full history, the
+    * resume-from-any-version mode). */
+  checkpointKeepLast: Int = 0)
 
 final case class IterationMetrics(iteration: Int, activeCount: Long, wallMs: Long)
 
@@ -223,6 +228,8 @@ object SuperstepLoop {
             "activeCount" -> active.toString,
             "wallMs"      -> wall.toString,
             "partitions"  -> nextCached.rdd.getNumPartitions.toString))
+          if (cfg.checkpointKeepLast > 0)
+            SnapshotStore.expire(dir, cfg.checkpointKeepLast)
           nextCached.unpersist(false)
           cached = spark.read.parquet(snap.dataPath).persist(cfg.storageLevel)
           state  = cached

@@ -68,4 +68,43 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
       java.nio.file.Paths.get(dir, "_snapshots", ".v9.json.tmp"), "{\"version\":9")
     assert(SnapshotStore.snapshots(dir).size == 2)
   }
+
+  test("snapshot expiration keeps the newest keepLast, deletes orphaned data") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-exp").toString
+    (0 until 5).foreach(i =>
+      SnapshotStore.commit(Seq((i.toLong, s"r$i")).toDF("id", "v"), dir,
+        Map("iteration" -> i.toString)))
+    val expired = SnapshotStore.expire(dir, keepLast = 2)
+    assert(expired == Seq(0L, 1L, 2L))
+    assert(SnapshotStore.snapshots(dir).map(_.version) == Seq(3L, 4L))
+    assert(SnapshotStore.latest(dir).get.meta("iteration") == "4")
+    assert(SnapshotStore.read(spark, dir).count() == 1)
+    // expired data dirs are gone, surviving ones intact
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "data", "v0")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "data", "v3")))
+    // keepLast larger than history is a no-op
+    assert(SnapshotStore.expire(dir, keepLast = 10).isEmpty)
+  }
+
+  test("checkpointed loop with keepLast retention still resumes identically") {
+    import graft.pregel.Pregel
+    val dir = Files.createTempDirectory("graft-ck-keep").toString
+    def wccVia(maxIter: Int) = Pregel(graph)
+      .withVertexColumn("label", init = col("id"),
+        afterMsg = when(Pregel.msg < col("label"), Pregel.msg).otherwise(col("label")))
+      .sendMsgToDst(Pregel.src("label"))
+      .sendMsgToSrc(Pregel.dst("label"))
+      .aggMsgs(min(Pregel.msg))
+      .setMaxIterations(maxIter)
+      .setCheckpointDir(dir, keepLast = 2)
+      .run()
+    val got = wccVia(20).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = collectLongMap(Wcc.run(graph).components, "id", "componentId")
+    assert(got == plain, s"got $got")
+    // retention held: at most 2 snapshots on disk, and the latest is intact
+    val snaps = SnapshotStore.snapshots(dir)
+    assert(snaps.size <= 2 && snaps.nonEmpty, s"snapshots ${snaps.map(_.version)}")
+    assert(SnapshotStore.read(spark, dir).count() == 11)
+  }
 }
