@@ -27,8 +27,18 @@ object TestSpark {
   }
 }
 
-trait SparkTestBase {
+trait SparkTestBase extends org.scalatest.BeforeAndAfterAll {
+  this: org.scalatest.Suite =>
   lazy val spark: SparkSession = TestSpark.spark
+
+  /** All suites share one JVM/session; operators deliberately leave
+    * lazy-lifetime caches pinned (memoized mutate-mode vertices, candidate
+    * tables). Dropping every cached block when a suite finishes keeps the
+    * unified memory pool's storage side from starving execution in later
+    * suites on a loaded box. */
+  override def afterAll(): Unit = {
+    try spark.catalog.clearCache() finally super.afterAll()
+  }
 
   /** Graph from an explicit edge list over vertex ids 0 until n —
     * the analogue of the reference's GDL fixtures with declaration-order ids
