@@ -1625,6 +1625,39 @@ object SparkEntry {
       val spark = s; import spark.implicits._
       Seq((vN, e.getLong(0), e.getLong(1))).toDF("vertices", "edges", "edge_checksum")
     }),
+    "q_warc_roundtrip" -> ((s, dir) => {
+      // WARC source/sink (the crawl-native container): documents -> pages
+      // -> .warc.gz (one gzip member per record, CC convention) -> read
+      // back -> per-url byte/timestamp/lang identity. Digest is exact and
+      // oracle-replayable from the documents table alone.
+      val docs = table(s, dir, "documents")
+      val p = docs.select(
+        concat(lit("https://docs.example/"), col("doc_id").cast("string")).as("url"),
+        timestamp_seconds(lit(graft.io.Pages.EpochBase) + col("doc_id")).as("warc_ts"),
+        concat(lit("<html><body>"), col("text"), lit("</body></html>"))
+          .cast("binary").as("html"),
+        col("lang"))
+      val d = java.nio.file.Files.createTempDirectory("graft-warc-rt").toString
+      try {
+        graft.io.Warc.write(p, d, compress = true)
+        val back = graft.io.Warc.read(s, d)
+        val j = p.withColumnRenamed("warc_ts", "ts1").withColumnRenamed("html", "h1")
+          .withColumnRenamed("lang", "l1").join(back, "url")
+        val r = j.agg(count(lit(1)).as("pages"),
+          sum(length(col("html").cast("string"))).as("html_chars"),
+          sum(when(col("h1") =!= col("html") || col("ts1") =!= col("warc_ts") ||
+            col("l1") =!= col("lang"), 1L).otherwise(0L)).as("mismatches")).first()
+        val spark = s; import spark.implicits._
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("pages", "html_chars", "mismatches")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }),
     "q_estimate" -> ((s, dir) => {
       // `.estimate` mode: the size model's inputs (counts) and outputs are
       // exact integer arithmetic, replayed by the oracle.
@@ -2164,6 +2197,9 @@ object SparkEntry {
     "q_bucketed_roundtrip" -> RoundtripSql.replace("AS edge_checksum",
       "AS edge_checksum, CAST(0 AS BIGINT) AS agg_exchanges"),
     "q_snapshot_roundtrip" -> RoundtripSql,
+    "q_warc_roundtrip" ->
+      ("SELECT count(*) AS pages, CAST(sum(length(text) + 26) AS BIGINT) AS html_chars, " +
+       "CAST(0 AS BIGINT) AS mismatches FROM documents"),
     "q_estimate" -> EstimateSql,
     "q_astar" ->
       s"""WITH ${gridDistCtes(rounds = 12, target = 13L)}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.{Pages, Warc}
+
+/** WARC source/sink: roundtrip byte-identity, CC gzip-member convention,
+  * non-response record skipping, deterministic re-export. */
+class WarcSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-warc").toString
+
+  private def rm(d: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  private def pages(n: Long) =
+    Pages.synth(spark, n, seed = 7L).repartition(3)
+
+  test("warc roundtrip is byte-identical per url (plain and gzip)") {
+    for (compress <- Seq(false, true)) {
+      val d = tmp()
+      try {
+        val p = pages(200L).cache()
+        Warc.write(p, d, compress = compress)
+        val back = Warc.read(spark, d)
+        assert(back.count() === 200L)
+        // byte-identity per url + second-precision timestamp + lang survive
+        val joined = p.select(col("url"), col("warc_ts"), col("html"), col("lang"))
+          .join(back.withColumnRenamed("warc_ts", "ts2")
+            .withColumnRenamed("html", "html2").withColumnRenamed("lang", "lang2"), "url")
+        val bad = joined.filter(
+          col("html") =!= col("html2") || col("warc_ts") =!= col("ts2") ||
+            col("lang") =!= col("lang2")).count()
+        assert(bad === 0L, s"compress=$compress")
+        p.unpersist()
+      } finally rm(d)
+    }
+  }
+
+  test("re-export of the same table is byte-identical (deterministic record ids)") {
+    val d1 = tmp(); val d2 = tmp()
+    try {
+      val p = pages(50L).coalesce(1)
+      Warc.write(p, d1, compress = false)
+      Warc.write(p, d2, compress = false)
+      def bytes(d: String) = {
+        val f = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+        try java.nio.file.Files.readAllBytes(
+          f.filter(_.toString.endsWith(".warc")).findFirst().get())
+        finally f.close()
+      }
+      assert(java.util.Arrays.equals(bytes(d1), bytes(d2)))
+    } finally { rm(d1); rm(d2) }
+  }
+
+  test("non-response records are skipped; multi-file parallel read") {
+    val d = tmp()
+    try {
+      val p = pages(100L)
+      Warc.write(p, d, compress = true)
+      // prepend a warcinfo record in its own file — readers must skip it
+      val info = "WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:x:1>\r\n" +
+        "WARC-Date: 2020-09-13T12:26:40Z\r\nContent-Length: 9\r\n\r\nisPartOf!\r\n\r\n"
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(info.getBytes("UTF-8")); gz.close()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(d, "part-99999.warc.gz"), out.toByteArray)
+      assert(Warc.read(spark, d).count() === 100L)
+      assert(Warc.read(spark, d).select("url").distinct().count() === 100L)
+    } finally rm(d)
+  }
+
+  test("extracted text from warc-read html matches the original table (north-rule invariant)") {
+    val d = tmp()
+    try {
+      val p = pages(150L).cache()
+      Warc.write(p, d)
+      val back = Warc.read(spark, d)
+        .select(col("url"), Pages.extractText(col("html").cast("string")).as("text2"))
+      val bad = p.select(col("url"), col("text")).join(back, "url")
+        .filter(col("text") =!= col("text2")).count()
+      assert(bad === 0L)
+      p.unpersist()
+    } finally rm(d)
+  }
+}
