@@ -608,6 +608,11 @@ object SparkEntry {
           col("fraction").as("top_bigram_frac"))
       dup.join(top, "doc_id").orderBy("doc_id")
     }),
+    "q_lm_score" -> ((s, dir) =>
+      // CCNet-style corpus-LM quality scoring: add-k bigram LM trained on
+      // the corpus itself, each doc scored by mean log-prob + perplexity.
+      TextOps.bigramLmScore(table(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
     "q_sample" -> ((s, dir) =>
       // deterministic Bernoulli sample: pure md5 draw, identical across
       // partitionings/retries/engines. Exact oracle replays the draw.
@@ -1882,6 +1887,22 @@ object SparkEntry {
          |  ${r6("t.top * 1.0 / t.total")} AS top_bigram_frac
          |FROM w JOIN t ON t.doc_id = w.doc_id ORDER BY w.doc_id""".stripMargin
     },
+    "q_lm_score" ->
+      s"""WITH d AS (SELECT doc_id AS id,
+         |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+         |w AS (SELECT id, string_split(norm, ' ') AS ws FROM d WHERE len(string_split(norm, ' ')) >= 2),
+         |v AS (SELECT count(DISTINCT tk) AS vs FROM (SELECT unnest(ws) AS tk FROM w)),
+         |bi AS (SELECT id, ws[i] AS w1, ws[i+1] AS w2
+         |       FROM (SELECT id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w)),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+         |ch AS (SELECT w1, sum(cb) AS ch FROM cb GROUP BY 1),
+         |lp AS (SELECT bi.id, ln((cb.cb + 0.1) / (ch.ch + 0.1 * v.vs)) AS lp
+         |       FROM bi JOIN cb USING (w1, w2) JOIN ch USING (w1), v),
+         |agg AS (SELECT id, count(*) AS bigrams, sum(lp) / count(*) AS m FROM lp GROUP BY id)
+         |SELECT id AS doc_id, bigrams,
+         |  ${graft.core.Num.roundSql("m", 6)} AS logprob_per_token,
+         |  ${graft.core.Num.roundSql("exp(-m)", 4)} AS perplexity
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "q_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(concat_ws(':', doc_id, 11)), 1, 4) < '4000'

@@ -163,6 +163,45 @@ object TextOps {
       .select(col("id"), transform(col("ls"), e => e.getField("line")).as("lines"))
   }
 
+  /** CCNet-style corpus language-model quality scoring (Wenzek et al. 2020
+    * score docs with a KenLM n-gram model and bucket by perplexity): here
+    * the n-gram model is trained ON the corpus itself, distributed, as an
+    * add-k-smoothed bigram LM, and every document is scored by mean
+    * per-bigram log-probability and perplexity.
+    *
+    * Scale shape (100 TB): ONE explode into (doc, w1, w2) rows; model
+    * training is two map-side-combinable aggregations (bigram counts, then
+    * history counts as their per-w1 rollup — so the corpus is read once);
+    * scoring is two hash equi-joins of the bigram stream against the model
+    * tables keyed by (w1,w2) and (w1). History keys are Zipf-skewed ("the"
+    * dominates) — the join is AQE-skew-splittable because the model side is
+    * one row per key; nothing is ever broadcast or collected except the
+    * scalar vocabulary size.
+    *
+    * Returns (id, bigrams, logprob_per_token, perplexity); documents with
+    * fewer than two tokens are excluded (no bigram evidence), and the
+    * smoothing vocabulary counts the tokens of the scoreable documents. */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Double = 0.1): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), split(normalize(col(textCol)), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bi = toks.select(col("id"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
+      .select(col("id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val biCounts   = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val histCounts = biCounts.groupBy("w1").agg(sum("cb").as("ch"))
+    val vocab = toks.select(explode(col("w")).as("tk")).distinct().count()
+    val lp = bi.join(biCounts, Seq("w1", "w2")).join(histCounts, Seq("w1"))
+      .select(col("id"),
+        log((col("cb") + lit(k)) / (col("ch") + lit(k * vocab))).as("lp"))
+    lp.groupBy("id").agg(count(lit(1)).as("bigrams"), sum("lp").as("slp"))
+      .select(col("id"), col("bigrams"),
+        graft.core.Num.roundTo(col("slp") / col("bigrams"), 6).as("logprob_per_token"),
+        graft.core.Num.roundTo(exp(-col("slp") / col("bigrams")), 4).as("perplexity"))
+  }
+
   /** Heuristic language ID: 'en' when ASCII-alpha dominated and stopword
     * density clears a threshold; 'non_latin' when most chars are outside
     * ASCII; otherwise 'latin_other'. Deterministic n-gram/stopword heuristic

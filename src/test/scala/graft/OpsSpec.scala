@@ -291,6 +291,25 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(top(3L) == ((1L, 1L, 1.0)))
   }
 
+  test("bigram LM scoring: add-k arithmetic exact on a hand-traced corpus") {
+    val d = docs(1L -> "a b a b", 2L -> "a b", 3L -> "c c", 4L -> "x")
+    val out = TextOps.bigramLmScore(d, "doc_id", "text", k = 0.1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus: bigrams (a,b)x3, (b,a)x1, (c,c)x1; histories a=3, b=1, c=1;
+    // V=3 (vocabulary counts tokens of scoreable docs — "x" has no bigrams)
+    def p(cb: Double, ch: Double) = math.log((cb + 0.1) / (ch + 0.1 * 3))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5 + 1e-6) / 1e6
+    val lp1 = (2 * p(3, 3) + p(1, 1)) / 3.0
+    val lp2 = p(3, 3)
+    val lp3 = p(1, 1)
+    assert(out(1L)._1 === 3L); assert(out(1L)._2 === r6(lp1))
+    assert(out(2L)._1 === 1L); assert(out(2L)._2 === r6(lp2))
+    assert(out(3L)._1 === 1L); assert(out(3L)._2 === r6(lp3))
+    assert(!out.contains(4L)) // single-token doc: no bigram evidence
+    // the frequent pattern scores higher (less surprising) than the rare one
+    assert(out(2L)._2 > out(3L)._2)
+  }
+
   test("deterministic sampling: reproducible, fraction-accurate, stratified") {
     import spark.implicits._
     import graft.ops.Sampling
