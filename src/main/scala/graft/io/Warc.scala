@@ -75,7 +75,8 @@ object Warc {
   /** Write `pages(url, warc_ts, html[, lang])` as WARC files under `dir`,
     * one file per partition. `compress = true` writes the Common-Crawl
     * one-gzip-member-per-record `.warc.gz` form. */
-  def write(pages: DataFrame, dir: String, compress: Boolean = true): Unit = {
+  def write(pages: DataFrame, dir: String, compress: Boolean = true,
+            prefix: String = "part"): Unit = {
     val ext = if (compress) ".warc.gz" else ".warc"
     val hasLang = pages.columns.contains("lang")
     val cols = Seq(col("url"), unix_timestamp(col("warc_ts")).as("epoch"), col("html")) ++
@@ -85,7 +86,7 @@ object Warc {
     pages.select(cols: _*).foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val pid  = org.apache.spark.TaskContext.getPartitionId()
-        val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d$ext")
+        val path = new org.apache.hadoop.fs.Path(dir, f"$prefix-$pid%05d$ext")
         val fs   = path.getFileSystem(conf.value)
         val out  = fs.create(path, true)
         try rows.foreach { r =>
@@ -108,10 +109,29 @@ object Warc {
     * task per file (Common Crawl's own parallelism unit). Non-`response`
     * records (warcinfo, request, metadata) are skipped, matching how crawl
     * consumers read CC. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = spark.read.format("binaryFile")
+  def read(spark: SparkSession, dir: String): DataFrame =
+    parseFiles(spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc*").load(dir)
-      .select(col("path"), col("content"))
+      .select(col("path"), col("content")))
+
+  /** Streaming variant: watch `dir` for new WARC files and emit their
+    * response records as an unbounded `(url, warc_ts, html, lang)` stream —
+    * continuous crawl ingestion. Identical parse as [[read]]; the file
+    * source tracks processed files in the checkpoint, so each WARC file is
+    * ingested exactly once across restarts. */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    parseFiles(spark.readStream.format("binaryFile")
+      .schema(StructType(Seq( // file streams require an explicit schema
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("pathGlobFilter", "*.warc*").load(dir)
+      .select(col("path"), col("content")))
+
+  /** (path, content) rows -> parsed response records; works identically on
+    * batch and streaming inputs (stateless flatMap). */
+  private def parseFiles(files: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(readSchema)
     files.flatMap { r =>
       val bytes =

@@ -192,4 +192,21 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("fp")
       .drop("fp")
+
+  /** Continuous crawl ingestion tail: a pages stream (e.g. `Warc.readStream`)
+    * -> link-graph edge stream `(src, dst, warc_ts)` with ids = xxhash64(url)
+    * exactly like the batch `Pages.toGraph`. Link extraction is stateless
+    * column work; the only state is the watermark-bounded
+    * `dropDuplicatesWithinWatermark` on (src, dst), so re-crawled pages
+    * within the horizon don't re-emit their edges — the incremental way to
+    * maintain an edge table a downstream (batch) PageRank/WCC run reads.
+    * State is O(distinct edges in horizon), never O(stream). */
+  def linkEdgesStream(pages: DataFrame, watermark: String = "1 hour"): DataFrame =
+    pages.withWatermark("warc_ts", watermark)
+      .select(col("url"), col("warc_ts"), explode(
+        regexp_extract_all(col("html").cast("string"),
+          lit("href=\"([^\"]*)\""), lit(1))).as("href"))
+      .select(xxhash64(col("url")).as("src"), xxhash64(col("href")).as("dst"),
+        col("warc_ts"))
+      .dropDuplicatesWithinWatermark("src", "dst")
 }

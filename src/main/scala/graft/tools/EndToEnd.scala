@@ -29,7 +29,20 @@ object EndToEnd {
     pages.select("url", "warc_ts", "lang").show(3, truncate = false)
     println("sample text: " + pages.select("text").first().getString(0).take(120))
 
-    val graph = Pages.toGraph(pages)
+    // crawl-container leg: pages -> .warc.gz -> read back; the whole
+    // pipeline downstream consumes the WARC-ingested table, so a parse
+    // regression breaks every printed number below
+    val warcDir = java.nio.file.Files.createTempDirectory("graft-warc-e2e").toString
+    graft.io.Warc.write(pages, warcDir)
+    val ingested = graft.io.Warc.read(spark, warcDir)
+      .withColumn("text", Pages.extractText(col("html").cast("string")))
+      .cache()
+    val warcBad = pages.select(col("url"), col("html").as("h1"))
+      .join(ingested.select(col("url"), col("html")), "url")
+      .filter(col("h1") =!= col("html")).count()
+    println(s"warc roundtrip html mismatches: $warcBad (expect 0)")
+
+    val graph = Pages.toGraph(ingested)
     val edgeCount = graph.edges.count()
     println(s"edges extracted: $edgeCount")
 

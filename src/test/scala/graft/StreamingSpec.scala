@@ -116,4 +116,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch, s"streamed $streamed vs batch $batch")
     assert(streamed.contains((1L, 2L)) && streamed.contains((5L, 6L)))
   }
+
+  test("warc file stream -> link-edge stream matches the batch derivation, dedups re-crawls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-stream").toString
+    try {
+      // one fixed 250-page crawl; wave 1 covers pages 0..149, wave 2 covers
+      // 100..249 — the 100..149 overlap is a re-crawl the stream must dedup
+      val crawl  = graft.io.Pages.synth(spark, 250L, seed = 3L)
+      val pageNo = regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long")
+      val wave1 = crawl.where(pageNo < 150)
+      val wave2 = crawl.where(pageNo >= 100)
+
+      graft.io.Warc.write(wave1.coalesce(1), dir, prefix = "w1")
+      val q = graft.streaming.StreamOps.linkEdgesStream(
+          graft.io.Warc.readStream(spark, dir), watermark = "1 hour")
+        .writeStream.outputMode("append").format("memory").queryName("warcedges").start()
+      q.processAllAvailable()
+      graft.io.Warc.write(wave2.coalesce(1), dir, prefix = "w2")
+      q.processAllAvailable()
+      q.stop()
+
+      val got = spark.sql("SELECT src, dst FROM warcedges")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // no duplicate edges despite the re-crawl overlap (within-watermark dedup)
+      assert(got.length === got.toSet.size)
+      // equals the batch derivation over the full crawl
+      val batch = graft.io.Pages.toGraph(crawl)
+        .edges.select("src", "dst").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.toSet === batch)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
 }
