@@ -77,6 +77,34 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     } finally rm(d)
   }
 
+  test("payloads containing WARC headers / CRLFCRLF are parsed intact (Content-Length walk)") {
+    import spark.implicits._
+    val d = tmp()
+    try {
+      // html bytes that would break any delimiter-scanning parser
+      val nasty = Seq(
+        (1L, "<html>\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nfake</html>"),
+        (2L, "Content-Length: 9999\r\n\r\n<p>x</p>"),
+        (3L, "\r\n\r\n\r\n\r\n"))
+      val p = nasty.toDF("id", "body").select(
+        concat(lit("https://n.example/"), col("id").cast("string")).as("url"),
+        timestamp_seconds(lit(1600000000L) + col("id")).as("warc_ts"),
+        col("body").cast("binary").as("html"),
+        lit("en").as("lang"))
+      for (compress <- Seq(false, true)) {
+        val dd = tmp()
+        try {
+          graft.io.Warc.write(p, dd, compress = compress)
+          val back = graft.io.Warc.read(spark, dd)
+          assert(back.count() === 3L)
+          val bad = p.select(col("url"), col("html").as("h1"))
+            .join(back, "url").filter(col("h1") =!= col("html")).count()
+          assert(bad === 0L, s"compress=$compress")
+        } finally rm(dd)
+      }
+    } finally rm(d)
+  }
+
   test("extracted text from warc-read html matches the original table (north-rule invariant)") {
     val d = tmp()
     try {
