@@ -589,6 +589,9 @@ object SparkEntry {
       Dedup.exactCanonical(table(s, dir, "documents"), "doc_id", "text").orderBy("id")),
     "q_token_count" -> ((s, dir) => table(s, dir, "documents")
       .select(col("doc_id"), TextOps.tokenCount(col("text")).as("tokens")).orderBy("doc_id")),
+    "q_token_count_bpe" -> ((s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.subwordTokenCount(col("text")).as("pretokens")).orderBy("doc_id")),
     "q_quality" -> ((s, dir) => table(s, dir, "documents")
       .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality")).orderBy("doc_id")),
     "q_lang_id" -> ((s, dir) => table(s, dir, "documents")
@@ -1862,6 +1865,11 @@ object SparkEntry {
     "q_token_count" ->
       """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
         |ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_count_bpe" ->
+      """SELECT doc_id, CAST(length(regexp_extract_all(text,
+        |  '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[0-9]+| ?[^\s\p{L}0-9]+')) AS INT)
+        |  AS pretokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quality" -> qualitySql,
     "q_lang_id" -> langIdSql,

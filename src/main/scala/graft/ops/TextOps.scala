@@ -18,6 +18,18 @@ object TextOps {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** Subword-style token count: the GPT-2/tiktoken pre-tokenizer convention
+    * (contraction suffixes, letter runs, digit runs, punctuation runs, each
+    * with an optional leading space) — the unit LLM data budgets are
+    * denominated in, vs [[tokenCount]]'s whitespace words. A real BPE merges
+    * within these pre-token boundaries, so this counts pre-tokens: an upper
+    * bound on words, lower bound on BPE tokens, and the standard cheap
+    * "token count" a pipeline filters on. Pure regexp expression
+    * (codegen'd; Java and DuckDB regex agree on this pattern). */
+  def subwordTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[0-9]+| ?[^\\s\\p{L}0-9]+"), lit(0)))
+
   /** Normalized text used for fingerprinting/dedup: lower-cased, whitespace
     * collapsed, trimmed. */
   def normalize(text: Column): Column =

@@ -291,6 +291,23 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(top(3L) == ((1L, 1L, 1.0)))
   }
 
+  test("subword token count: GPT-2 pre-tokenizer convention, hand-traced") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "I'll see 3 cats, don't  stop!"), // 10 pre-tokens (trace in assert)
+      (2L, ""),                              // empty -> 0
+      (3L, "  "),                            // whitespace only -> 0
+      (4L, "abc123!?x"))                     // letter/digit/punct runs split: abc,123,!?,x
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"), graft.ops.TextOps.subwordTokenCount(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // I | 'll | _see | _3 | _cats | , | _don | 't | _stop | !
+    assert(got(1L) === 10)
+    assert(got(2L) === 0)
+    assert(got(3L) === 0)
+    assert(got(4L) === 4)
+  }
+
   test("bigram LM scoring: add-k arithmetic exact on a hand-traced corpus") {
     val d = docs(1L -> "a b a b", 2L -> "a b", 3L -> "c c", 4L -> "x")
     val out = TextOps.bigramLmScore(d, "doc_id", "text", k = 0.1)
