@@ -124,7 +124,15 @@ object Bench {
 
     // dev-only subset filter (comma-separated names); full suite when unset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names match no query: " +
+          unknown.toSeq.sorted.mkString(","))
+      if (names.intersect(SparkEntry.queries.keySet).isEmpty)
+        System.err.println("[bench] WARNING: filter selected ZERO queries — timings below are empty")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

@@ -1658,13 +1658,7 @@ object SparkEntry {
         val spark = s; import spark.implicits._
         Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
           .toDF("pages", "html_chars", "mismatches")
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
+      } finally graft.io.Fs.deleteRecursively(d)
     }),
     "q_estimate" -> ((s, dir) => {
       // `.estimate` mode: the size model's inputs (counts) and outputs are

@@ -155,11 +155,16 @@ object Pages {
       .agg(count(lit(1)).as("weight"),
            countDistinct(col("url")).as("pages"))
 
+  /** All href values in raw html bytes, as an array column — THE link
+    * extraction; batch (extractLinks/toGraph) and streaming
+    * (StreamOps.linkEdgesStream) both go through here so they can never
+    * diverge. */
+  def hrefs(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract_all(html.cast("string"), lit("href=\"([^\"]*)\""), lit(1))
+
   /** Extract outgoing hrefs from raw html bytes. Returns (url, href) rows. */
   def extractLinks(pages: DataFrame): DataFrame =
-    pages
-      .select(col("url"), explode(
-        regexp_extract_all(col("html").cast("string"), lit("href=\"([^\"]*)\""), lit(1))).as("href"))
+    pages.select(col("url"), explode(hrefs(col("html"))).as("href"))
 
   /** Extract anchor tags with their text from raw html bytes:
     * (url, href, anchor) per `<a href="...">text</a>` occurrence, anchor

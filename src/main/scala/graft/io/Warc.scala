@@ -3,7 +3,7 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.time.Instant
 import java.time.format.DateTimeFormatter
@@ -19,22 +19,27 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   *  - one `.warc` (or `.warc.gz`) file per partition — Common Crawl ships
   *    ~1 GB files, one Spark task per file is the intended parallelism;
   *  - `.warc.gz` follows the CC convention of one gzip MEMBER per record
-  *    (members are concatenated, so a reader can split records without
-  *    decompressing the whole file; `GZIPInputStream` reads members
+  *    (members are concatenated; `GZIPInputStream` reads members
   *    back-to-back transparently);
-  *  - `response` records carry the raw html payload, `WARC-Target-URI`,
+  *  - `response` records carry the html payload, `WARC-Target-URI`,
   *    `WARC-Date` (second-precision ISO-8601, the WARC 1.0 grammar) and
-  *    Common Crawl's `WARC-Identified-Content-Language` header;
+  *    Common Crawl's `WARC-Identified-Content-Language` header. Records
+  *    whose Content-Type is `application/http` (real CC captures) have the
+  *    HTTP response head stripped so `html` is always the message BODY;
   *  - record ids are deterministic (`urn:graft:<xxhash64 of url>`) so a
   *    re-export of the same table is byte-identical — the same
   *    reproducibility contract as the rest of the io layer.
   *
-  * Write uses the Hadoop FileSystem API (works on local FS, HDFS and object
-  * stores alike); each task streams its partition — nothing is buffered
-  * beyond one record, so arbitrarily large partitions write in O(1) memory.
-  * Read uses the `binaryFile` source (one task per file) and a
-  * partition-local splitter that walks `Content-Length` boundaries — no
-  * regex over payload bytes, payloads are never copied more than once.
+  * Write uses the Hadoop FileSystem API (local FS, HDFS and object stores
+  * alike) with a per-task temp-file + rename commit, so readers never see a
+  * half-written file and a `_SUCCESS` marker distinguishes a complete
+  * export from a died-midway one; each task streams its partition — nothing
+  * is buffered beyond one record. Read decodes each file as an InputStream
+  * and walks `Content-Length` boundaries — no regex over payload bytes, no
+  * whole-file decompression buffer, O(largest record) memory regardless of
+  * file size. Records with a missing/garbled Content-Length or a truncated
+  * payload end that file's parse cleanly (crawl readers skip corrupt tails;
+  * nothing silently zero-pads).
   */
 object Warc {
 
@@ -45,6 +50,11 @@ object Warc {
     StructField("warc_ts", TimestampType, nullable = false),
     StructField("html", BinaryType, nullable = false),
     StructField("lang", StringType, nullable = true)))
+
+  /** Header values live on one CRLF-terminated line; a stray CR/LF in a
+    * url/lang (malformed crawl input) must not inject header lines or
+    * terminate the block early. */
+  private def headerSafe(s: String): String = s.replace('\r', ' ').replace('\n', ' ')
 
   /** Serialize one response record (headers + payload + record separator). */
   private def record(url: String, epochSec: Long, html: Array[Byte],
@@ -61,8 +71,9 @@ object Warc {
       .append("WARC-Type: response\r\n")
       .append(s"WARC-Record-ID: <$id>\r\n")
       .append(s"WARC-Date: ${WarcDate.format(Instant.ofEpochSecond(epochSec))}\r\n")
-      .append(s"WARC-Target-URI: $url\r\n")
-      .append(if (lang != null && lang.nonEmpty) s"WARC-Identified-Content-Language: $lang\r\n" else "")
+      .append(s"WARC-Target-URI: ${headerSafe(url)}\r\n")
+      .append(if (lang != null && lang.nonEmpty)
+        s"WARC-Identified-Content-Language: ${headerSafe(lang)}\r\n" else "")
       .append("Content-Type: text/html\r\n")
       .append(s"Content-Length: ${html.length}\r\n")
       .append("\r\n")
@@ -74,7 +85,10 @@ object Warc {
 
   /** Write `pages(url, warc_ts, html[, lang])` as WARC files under `dir`,
     * one file per partition. `compress = true` writes the Common-Crawl
-    * one-gzip-member-per-record `.warc.gz` form. */
+    * one-gzip-member-per-record `.warc.gz` form. Tasks write to a hidden
+    * temp name and rename into place on success (readers and speculative
+    * duplicates never observe partial bytes); the driver drops a `_SUCCESS`
+    * marker once every partition committed. */
   def write(pages: DataFrame, dir: String, compress: Boolean = true,
             prefix: String = "part"): Unit = {
     val ext = if (compress) ".warc.gz" else ".warc"
@@ -85,24 +99,41 @@ object Warc {
       pages.sparkSession.sparkContext.hadoopConfiguration)
     pages.select(cols: _*).foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
-        val pid  = org.apache.spark.TaskContext.getPartitionId()
-        val path = new org.apache.hadoop.fs.Path(dir, f"$prefix-$pid%05d$ext")
-        val fs   = path.getFileSystem(conf.value)
-        val out  = fs.create(path, true)
-        try rows.foreach { r =>
-          val rec = record(r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2),
-            r.getString(3))
-          if (compress) {
-            // one gzip member per record (CC convention): flushing a fresh
-            // GZIPOutputStream per record keeps members independent
-            val buf = new ByteArrayOutputStream(rec.length / 2 + 64)
-            val gz  = new GZIPOutputStream(buf)
-            gz.write(rec); gz.finish(); gz.close()
-            buf.writeTo(out)
-          } else out.write(rec)
-        } finally out.close()
+        val tc   = org.apache.spark.TaskContext.get()
+        val pid  = tc.partitionId()
+        val fin  = new org.apache.hadoop.fs.Path(dir, f"$prefix-$pid%05d$ext")
+        // attempt number in the temp name keeps a speculative duplicate on
+        // its own file; the rename decides the single winner
+        val tmp  = new org.apache.hadoop.fs.Path(dir,
+          f".$prefix-$pid%05d.${tc.taskAttemptId()}%d$ext.tmp")
+        val fs   = fin.getFileSystem(conf.value)
+        val out  = fs.create(tmp, true)
+        var ok = false
+        try {
+          rows.foreach { r =>
+            val rec = record(r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2),
+              r.getString(3))
+            if (compress) {
+              // one gzip member per record (CC convention): flushing a fresh
+              // GZIPOutputStream per record keeps members independent
+              val buf = new ByteArrayOutputStream(rec.length / 2 + 64)
+              val gz  = new GZIPOutputStream(buf)
+              gz.write(rec); gz.finish(); gz.close()
+              buf.writeTo(out)
+            } else out.write(rec)
+          }
+          ok = true
+        } finally {
+          out.close()
+          if (ok) { fs.delete(fin, false); fs.rename(tmp, fin) }
+          else fs.delete(tmp, false)
+        }
       }
     }
+    // all partitions committed: mark the export complete
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(pages.sparkSession.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS"), true).close()
   }
 
   /** Read WARC files under `dir` into `(url, warc_ts, html, lang)` — one
@@ -134,69 +165,112 @@ object Warc {
   private def parseFiles(files: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(readSchema)
     files.flatMap { r =>
-      val bytes =
-        if (r.getString(0).endsWith(".gz")) gunzipAll(r.getAs[Array[Byte]](1))
-        else r.getAs[Array[Byte]](1)
-      parseRecords(bytes)
+      val raw = new ByteArrayInputStream(r.getAs[Array[Byte]](1))
+      val in: InputStream =
+        if (r.getString(0).endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
+      parseStream(in)
     }(enc)
   }
 
-  /** Decompress a stream of concatenated gzip members. */
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in  = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
-    val out = new ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](1 << 16)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
+  /** Fill `buf` completely or throw EOF (partial reads are normal on
+    * decompressing streams). */
+  private def readFully(in: InputStream, buf: Array[Byte]): Unit = {
+    var off = 0
+    while (off < buf.length) {
+      val n = in.read(buf, off, buf.length - off)
+      if (n < 0) throw new EOFException()
+      off += n
+    }
   }
 
-  /** Walk records by Content-Length — no scanning inside payloads. */
-  private def parseRecords(bytes: Array[Byte]): Iterator[Row] = new Iterator[Row] {
-    private var pos = 0
+  /** Walk records by Content-Length over a (possibly decompressing) stream:
+    * memory is O(one record), never O(file). Corrupt input — a header block
+    * not starting with `WARC/`, a missing/non-numeric Content-Length, or a
+    * payload cut short by EOF — ends the parse of this file cleanly after
+    * the records already emitted. */
+  private def parseStream(in: InputStream): Iterator[Row] = new Iterator[Row] {
     private var nextRow: Row = advance()
     override def hasNext: Boolean = nextRow != null
     override def next(): Row = { val r = nextRow; nextRow = advance(); r }
 
-    private def headerEnd(from: Int): Int = { // index AFTER \r\n\r\n
-      var i = from
-      while (i + 3 < bytes.length &&
-        !(bytes(i) == '\r' && bytes(i + 1) == '\n' && bytes(i + 2) == '\r' && bytes(i + 3) == '\n')) i += 1
-      if (i + 3 < bytes.length) i + 4 else -1
+    /** Bytes of one header block, up to and including CRLFCRLF; null at
+      * EOF/corruption. Headers are small — the accumulator is bounded by
+      * sanity-capping at 1 MiB (a "header" longer than that is garbage). */
+    private def readHeader(): String = {
+      val acc = new ByteArrayOutputStream(512)
+      var state = 0 // matched prefix length of \r\n\r\n
+      while (state < 4) {
+        val b = in.read()
+        if (b < 0 || acc.size() > (1 << 20)) return null
+        acc.write(b)
+        state = (state, b.toChar) match {
+          case (0, '\r') => 1
+          case (1, '\n') => 2
+          case (2, '\r') => 3
+          case (3, '\n') => 4
+          case (_, '\r') => 1
+          case _         => 0
+        }
+      }
+      new String(acc.toByteArray, UTF_8)
     }
 
     @annotation.tailrec
     private def advance(): Row = {
-      if (pos >= bytes.length) null
+      val header = readHeader()
+      if (header == null || !header.startsWith("WARC/")) null // corrupt/EOF: stop
       else {
-        val he = headerEnd(pos)
-        if (he < 0) null
-        else {
-          val header = new String(bytes, pos, he - pos, UTF_8)
-          if (!header.startsWith("WARC/")) null // corrupt tail: stop cleanly
+        def h(name: String): String = {
+          val idx = header.indexOf(s"\r\n$name:")
+          if (idx < 0) null
           else {
-            def h(name: String): String = {
-              val idx = header.indexOf(s"\r\n$name:")
-              if (idx < 0) null
-              else {
-                val s = idx + name.length + 3
-                val e = header.indexOf("\r\n", s)
-                header.substring(s, if (e < 0) header.length else e).trim
-              }
-            }
-            val len = h("Content-Length").toInt
-            val payloadStart = he
-            pos = payloadStart + len + 4 // skip \r\n\r\n record separator
-            if (h("WARC-Type") != "response") advance()
-            else {
-              val html = java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + len)
-              val uri  = h("WARC-Target-URI")
-              val ts   = java.sql.Timestamp.from(Instant.parse(h("WARC-Date")))
-              Row(uri, ts, html, h("WARC-Identified-Content-Language"))
-            }
+            val s = idx + name.length + 3
+            val e = header.indexOf("\r\n", s)
+            header.substring(s, if (e < 0) header.length else e).trim
+          }
+        }
+        val lenStr = h("Content-Length")
+        // ≤9 digits: a single record beyond ~1 GB can't be held in one
+        // byte[] row anyway and signals garbage, not data
+        val len = if (lenStr != null && lenStr.nonEmpty && lenStr.length <= 9 &&
+          lenStr.forall(_.isDigit)) lenStr.toInt else -1
+        if (len < 0) null // unparseable record boundary: stop cleanly
+        else {
+          val payload = new Array[Byte](len)
+          val sep = new Array[Byte](4)
+          try { readFully(in, payload); readFully(in, sep) }
+          catch { case _: EOFException => return null } // truncated tail: stop
+          val uri  = h("WARC-Target-URI")
+          val date = h("WARC-Date")
+          if (h("WARC-Type") != "response" || uri == null || date == null) advance()
+          else {
+            // real CC response records hold a full HTTP message
+            // (Content-Type: application/http): html is the BODY after the
+            // HTTP head's CRLFCRLF. Our own text/html records are the body.
+            val ct = h("Content-Type")
+            val body =
+              if (ct != null && ct.startsWith("application/http")) httpBody(payload)
+              else payload
+            val ts = try java.sql.Timestamp.from(Instant.parse(date))
+                     catch { case _: java.time.format.DateTimeParseException => null }
+            if (ts == null) advance() // garbled date: skip record, keep walking
+            else Row(uri, ts, body, h("WARC-Identified-Content-Language"))
           }
         }
       }
     }
+  }
+
+  /** Strip the HTTP response head (through the first CRLFCRLF) from an
+    * `application/http` payload; the whole payload if no head boundary
+    * exists (defensive — not produced by conformant writers). */
+  private def httpBody(payload: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i + 3 < payload.length &&
+      !(payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n')) i += 1
+    if (i + 3 < payload.length)
+      java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
+    else payload
   }
 }

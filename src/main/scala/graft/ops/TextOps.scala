@@ -181,14 +181,14 @@ object TextOps {
     * add-k-smoothed bigram LM, and every document is scored by mean
     * per-bigram log-probability and perplexity.
     *
-    * Scale shape (100 TB): ONE explode into (doc, w1, w2) rows; model
-    * training is two map-side-combinable aggregations (bigram counts, then
-    * history counts as their per-w1 rollup — so the corpus is read once);
-    * scoring is two hash equi-joins of the bigram stream against the model
-    * tables keyed by (w1,w2) and (w1). History keys are Zipf-skewed ("the"
-    * dominates) — the join is AQE-skew-splittable because the model side is
-    * one row per key; nothing is ever broadcast or collected except the
-    * scalar vocabulary size.
+    * Scale shape (100 TB): the corpus tokenizes twice — once into the model
+    * aggregations (bigram counts, then history counts and the vocabulary
+    * size as rollups of that already-aggregated table), once into the
+    * scoring stream; scoring is two hash equi-joins of the bigram stream
+    * against the model tables keyed by (w1,w2) and (w1). History keys are
+    * Zipf-skewed ("the" dominates) — the join is AQE-skew-splittable
+    * because the model side is one row per key; nothing is ever broadcast
+    * or collected except the scalar vocabulary size.
     *
     * Returns (id, bigrams, logprob_per_token, perplexity); documents with
     * fewer than two tokens are excluded (no bigram evidence), and the
@@ -204,7 +204,11 @@ object TextOps {
       .select(col("id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
     val biCounts   = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val histCounts = biCounts.groupBy("w1").agg(sum("cb").as("ch"))
-    val vocab = toks.select(explode(col("w")).as("tk")).distinct().count()
+    // every token of a scoreable doc occurs as some bigram's w1 or w2, so
+    // the vocabulary size comes off the already-aggregated model table —
+    // no extra corpus-wide tokenize pass
+    val vocab = biCounts.select(col("w1").as("tk"))
+      .union(biCounts.select(col("w2"))).distinct().count()
     val lp = bi.join(biCounts, Seq("w1", "w2")).join(histCounts, Seq("w1"))
       .select(col("id"),
         log((col("cb") + lit(k)) / (col("ch") + lit(k * vocab))).as("lp"))

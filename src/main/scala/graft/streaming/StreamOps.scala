@@ -203,9 +203,8 @@ object StreamOps {
     * State is O(distinct edges in horizon), never O(stream). */
   def linkEdgesStream(pages: DataFrame, watermark: String = "1 hour"): DataFrame =
     pages.withWatermark("warc_ts", watermark)
-      .select(col("url"), col("warc_ts"), explode(
-        regexp_extract_all(col("html").cast("string"),
-          lit("href=\"([^\"]*)\""), lit(1))).as("href"))
+      .select(col("url"), col("warc_ts"),
+        explode(graft.io.Pages.hrefs(col("html"))).as("href"))
       .select(xxhash64(col("url")).as("src"), xxhash64(col("href")).as("dst"),
         col("warc_ts"))
       .dropDuplicatesWithinWatermark("src", "dst")

@@ -37,9 +37,12 @@ object EndToEnd {
     val ingested = graft.io.Warc.read(spark, warcDir)
       .withColumn("text", Pages.extractText(col("html").cast("string")))
       .cache()
+    // full outer join: a parser that DROPS records must fail this sentinel,
+    // not shrink the comparison set
     val warcBad = pages.select(col("url"), col("html").as("h1"))
-      .join(ingested.select(col("url"), col("html")), "url")
-      .filter(col("h1") =!= col("html")).count()
+      .join(ingested.select(col("url"), col("html")), Seq("url"), "full_outer")
+      .filter(col("h1").isNull || col("html").isNull || col("h1") =!= col("html"))
+      .count()
     println(s"warc roundtrip html mismatches: $warcBad (expect 0)")
 
     val graph = Pages.toGraph(ingested)
@@ -73,5 +76,7 @@ object EndToEnd {
     println("plan of pagerank scores:")
     pr.scores.explain("simple")
     spark.stop()
+    graft.io.Fs.deleteRecursively(warcDir)
+    graft.io.Fs.deleteRecursively(ckDir)
   }
 }

@@ -145,12 +145,6 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .edges.select("src", "dst").distinct()
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got.toSet === batch)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      finally walk.close()
-    }
+    } finally graft.io.Fs.deleteRecursively(dir)
   }
 }

@@ -11,13 +11,7 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft-warc").toString
 
-  private def rm(d: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-    finally walk.close()
-  }
+  private def rm(d: String): Unit = graft.io.Fs.deleteRecursively(d)
 
   private def pages(n: Long) =
     Pages.synth(spark, n, seed = 7L).repartition(3)
@@ -102,6 +96,58 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
           assert(bad === 0L, s"compress=$compress")
         } finally rm(dd)
       }
+    } finally rm(d)
+  }
+
+  test("application/http records (real CC shape) yield the message BODY as html") {
+    val d = tmp()
+    try {
+      val body = "<html><body>real cc page</body></html>"
+      val http = s"HTTP/1.1 200 OK\r\nServer: x\r\nContent-Type: text/html\r\n\r\n$body"
+      val rec = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:x:1>\r\n" +
+        "WARC-Date: 2020-09-13T12:26:40Z\r\nWARC-Target-URI: https://cc.example/a\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n$http\r\n\r\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get(d, "cc.warc"), rec.getBytes("UTF-8"))
+      val got = graft.io.Warc.read(spark, d).collect()
+      assert(got.length === 1)
+      assert(new String(got(0).getAs[Array[Byte]]("html"), "UTF-8") === body)
+    } finally rm(d)
+  }
+
+  test("truncated file: records before the cut are emitted, nothing is zero-padded") {
+    val d = tmp()
+    try {
+      val p = pages(20L).coalesce(1)
+      graft.io.Warc.write(p, d, compress = false)
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+      val warc = try f.filter(_.toString.endsWith(".warc")).findFirst().get() finally f.close()
+      val bytes = java.nio.file.Files.readAllBytes(warc)
+      // cut the file mid-way through the last record's payload; drop the
+      // Hadoop LocalFileSystem .crc sidecar (stale after the out-of-band
+      // truncation — a real partial download has no sidecar either)
+      java.nio.file.Files.write(warc, java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 30))
+      java.nio.file.Files.deleteIfExists(
+        warc.getParent.resolve("." + warc.getFileName.toString + ".crc"))
+      val got = graft.io.Warc.read(spark, d)
+      assert(got.count() === 19L) // last record dropped, not padded
+      // surviving records byte-identical
+      val bad = p.select(org.apache.spark.sql.functions.col("url"),
+          org.apache.spark.sql.functions.col("html").as("h1"))
+        .join(got, "url").filter(org.apache.spark.sql.functions.col("h1") =!=
+          org.apache.spark.sql.functions.col("html")).count()
+      assert(bad === 0L)
+    } finally rm(d)
+  }
+
+  test("write drops a _SUCCESS marker after all partitions commit; no temp files remain") {
+    val d = tmp()
+    try {
+      graft.io.Warc.write(pages(60L), d)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_SUCCESS")))
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+      val leftover = try f.filter(_.getFileName.toString.endsWith(".tmp")).count() finally f.close()
+      assert(leftover === 0L)
     } finally rm(d)
   }
 
