@@ -611,6 +611,41 @@ object SparkEntry {
           col("fraction").as("top_bigram_frac"))
       dup.join(top, "doc_id").orderBy("doc_id")
     }),
+    "q_text_classifier" -> ((s, dir) => {
+      // fastText-style hashed-ngram LR classifier on a deterministic 20%
+      // md5 holdout. Target: is the focus token's frequency share above the
+      // corpus-typical rate — the lexical-score-threshold shape a real
+      // quality filter has, and (unlike this synthetic corpus's lang
+      // column, which is independent of the text) actually derivable from
+      // the features. Split sizes and class counts are exactly
+      // SQL-replayable; the learned model's holdout accuracy is a validity
+      // bound (>= 0.9 and >= the majority rate; the planted-vocab spec
+      // test pins exact separation).
+      val toks = TextOps.tokenCount(col("text"))
+      val share = when(toks === 0, lit(0.0)).otherwise(
+        size(regexp_extract_all(col("text"), lit("\\bspark\\b"), lit(0)))
+          .cast("double") / toks.cast("double"))
+      val docs = table(s, dir, "documents")
+        .withColumn("y", (share >= 0.03).cast("long"))
+      // unigram features only: the target is a unigram-share threshold, so
+      // the problem is exactly linearly separable through the feature map
+      // (256 buckets keep the focus token's bucket collision-free for this
+      // corpus's small vocabulary)
+      // lr sized to the tiny L1-share feature scale (probe: lr=200/2000
+      // iters -> holdout acc 0.95; smaller steps stall before the weights
+      // reach decision scale)
+      val r = TextOps.trainTextClassifier(docs, "doc_id", "text", "y",
+        dims = 256, bigrams = false,
+        cfg = graft.ml.LogisticRegression.LrConfig(
+          maxIterations = 2000, learningRate = 200.0))
+      val majority = docs.agg(
+        (greatest(sum(col("y")), count(lit(1)) - sum(col("y"))).cast("double") /
+          count(lit(1))).as("m")).first().getDouble(0)
+      val pos = docs.agg(sum("y")).first().getLong(0)
+      val spark = s; import spark.implicits._
+      Seq((r.trainRows, r.testRows, pos, r.accuracy >= 0.9, r.accuracy >= majority))
+        .toDF("train_rows", "test_rows", "positives", "acc_ok", "beats_majority")
+    }),
     "q_lm_score" -> ((s, dir) =>
       // CCNet-style corpus-LM quality scoring: add-k bigram LM trained on
       // the corpus itself, each doc scored by mean log-prob + perplexity.
@@ -1889,6 +1924,19 @@ object SparkEntry {
          |  ${r6("t.top * 1.0 / t.total")} AS top_bigram_frac
          |FROM w JOIN t ON t.doc_id = w.doc_id ORDER BY w.doc_id""".stripMargin
     },
+    "q_text_classifier" ->
+      """WITH s AS (SELECT doc_id,
+        |  CASE WHEN substr(md5(concat_ws(':', doc_id, 17)), 1, 4) < '3333'
+        |       THEN 1 ELSE 0 END AS t,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       WHEN len(regexp_extract_all(text, '\bspark\b')) * 1.0 /
+        |            len(regexp_split_to_array(trim(text), '\s+')) >= 0.03
+        |       THEN 1 ELSE 0 END AS y
+        |  FROM documents)
+        |SELECT CAST(sum(1 - t) AS BIGINT) AS train_rows,
+        |  CAST(sum(t) AS BIGINT) AS test_rows,
+        |  CAST(sum(y) AS BIGINT) AS positives,
+        |  true AS acc_ok, true AS beats_majority FROM s""".stripMargin,
     "q_lm_score" ->
       s"""WITH d AS (SELECT doc_id AS id,
          |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),

@@ -218,6 +218,82 @@ object TextOps {
         graft.core.Num.roundTo(exp(-col("slp") / col("bigrams")), 4).as("perplexity"))
   }
 
+  /** Hashed bag-of-n-grams features — the fastText trick (Joulin et al.
+    * 2016): word unigrams + bigrams hashed into `dims` buckets, counted,
+    * L1-normalized, as a dense `array<double>` column ready for
+    * [[graft.ml.LogisticRegression]]. The classifier webtext pipelines
+    * actually deploy for language/quality filtering is exactly this shape:
+    * linear model over hashed n-grams.
+    *
+    * Scale shape: one explode into (doc, bucket) rows, one map-side-
+    * combinable count aggregation keyed BY DOC (shuffle bounded by
+    * docs × distinct buckets per doc, never corpus vocabulary), then a
+    * per-row map→dense-array expression. No UDFs, no pivot, no
+    * corpus-wide state. Returns (id, features). */
+  def hashedNgramFeatures(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String, dims: Int = 64,
+                          bigrams: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val toks = split(normalize(col(textCol)), " ")
+    val unis = transform(toks, t => pmod(xxhash64(lit(1), t), lit(dims)))
+    val bis  = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => pmod(xxhash64(lit(2), a, b), lit(dims)))
+    val grams = if (bigrams) concat(unis, bis) else unis
+    docs.select(col(idCol).as("id"), explode(grams).as("d"))
+      .groupBy("id", "d").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        map_from_entries(collect_list(struct(col("d"), col("c")))).as("m"),
+        sum("c").as("total"))
+      .select(col("id"), transform(sequence(lit(0), lit(dims - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0L)).cast("double") /
+          col("total").cast("double")).as("features"))
+  }
+
+  final case class TextClassifierResult(
+    model: graft.ml.LogisticRegression.LrModel,
+    trainRows: Long, testRows: Long, correct: Long) {
+    def accuracy: Double = if (testRows == 0) 0.0 else correct.toDouble / testRows
+  }
+
+  /** Train a fastText-style binary text classifier (hashed n-gram features
+    * + distributed logistic regression) on a deterministic md5 holdout
+    * split and score it on the held-out rows. `labelCol` must be 0/1.
+    * The standard use: language-ID or quality ("wikipedia-like") filtering
+    * at corpus scale — training is one codegen'd aggregation per epoch over
+    * rows that never leave their partitions (LogisticRegression's contract),
+    * scoring one scan. */
+  def trainTextClassifier(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String, labelCol: String, dims: Int = 64,
+                          bigrams: Boolean = true,
+                          holdout: Double = 0.2, seed: Long = 17L,
+                          // L1-normalized n-gram shares are ~1/doc-length —
+                          // tiny inputs need a large step for the weights to
+                          // reach decision scale in bounded iterations (the
+                          // loss is convex; the Hessian is bounded by the
+                          // same small feature scale, so this is stable)
+                          cfg: graft.ml.LogisticRegression.LrConfig =
+                            graft.ml.LogisticRegression.LrConfig(
+                              maxIterations = 500, learningRate = 25.0))
+      : TextClassifierResult = {
+    val feats = hashedNgramFeatures(docs, idCol, textCol, dims, bigrams)
+      .join(docs.select(col(idCol).as("id"), col(labelCol).cast("double").as("y")), "id")
+    // deterministic split: same md5 draw as Sampling.hashSample
+    val inTest = substring(md5(concat_ws(":", col("id"), lit(seed))), 1, 4) <
+      f"${(holdout * 65536).toInt}%04x"
+    val train = feats.filter(!inTest).cache()
+    val test  = feats.filter(inTest).cache()
+    try {
+      val model = graft.ml.LogisticRegression.train(train, "features", "y", dims, cfg)
+      val scored = test.select(col("y"),
+        (graft.ml.LogisticRegression.predictProb(col("features"), model) >= 0.5)
+          .cast("double").as("yhat"))
+      val agg = scored.agg(count(lit(1)).as("n"),
+        sum(when(col("y") === col("yhat"), 1L).otherwise(0L)).as("ok")).first()
+      TextClassifierResult(model, train.count(), agg.getLong(0), agg.getLong(1))
+    } finally { train.unpersist(); test.unpersist() }
+  }
+
   /** Heuristic language ID: 'en' when ASCII-alpha dominated and stopword
     * density clears a threshold; 'non_latin' when most chars are outside
     * ASCII; otherwise 'latin_other'. Deterministic n-gram/stopword heuristic

@@ -327,6 +327,28 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L)._2 > out(3L)._2)
   }
 
+  test("hashed-ngram text classifier separates planted vocabularies") {
+    import spark.implicits._
+    // two disjoint vocabularies -> a linear model over hashed n-grams must
+    // separate them near-perfectly
+    val vocabA = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val vocabB = Seq("uno", "dos", "tres", "cuatro", "cinco")
+    def doc(i: Long, v: Seq[String]) =
+      (0 until 12).map(j => v(((i + j * 7) % v.length).toInt)).mkString(" ")
+    val rows = (0L until 120L).map { i =>
+      if (i % 2 == 0) (i, doc(i, vocabA), 1L) else (i, doc(i, vocabB), 0L)
+    }
+    val df = rows.toDF("doc_id", "text", "label")
+    val r = TextOps.trainTextClassifier(df, "doc_id", "text", "label", dims = 32)
+    assert(r.trainRows + r.testRows === 120L)
+    assert(r.testRows > 0L)
+    assert(r.accuracy >= 0.95, s"accuracy ${r.accuracy}")
+    // features are L1-normalized distributions
+    val f = TextOps.hashedNgramFeatures(df, "doc_id", "text", 32)
+      .select(aggregate(col("features"), lit(0.0), (a, v) => a + v).as("s")).collect()
+    assert(f.forall(r0 => math.abs(r0.getDouble(0) - 1.0) < 1e-9))
+  }
+
   test("deterministic sampling: reproducible, fraction-accurate, stratified") {
     import spark.implicits._
     import graft.ops.Sampling
