@@ -3,7 +3,7 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream}
+import java.io.{ByteArrayOutputStream, EOFException, InputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.time.Instant
 import java.time.format.DateTimeFormatter
@@ -34,10 +34,16 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   * alike) with a per-task temp-file + rename commit, so readers never see a
   * half-written file and a `_SUCCESS` marker distinguishes a complete
   * export from a died-midway one; each task streams its partition — nothing
-  * is buffered beyond one record. Read decodes each file as an InputStream
-  * and walks `Content-Length` boundaries — no regex over payload bytes, no
-  * whole-file decompression buffer, O(largest record) memory regardless of
-  * file size. Records with a missing/garbled Content-Length or a truncated
+  * is buffered beyond one record. Read uses Spark's `binaryFile` source for
+  * file DISCOVERY only (listing, glob filter, and — in the streaming
+  * variant — exactly-once processed-file tracking in the checkpoint): only
+  * the `path` column is selected, so column pruning keeps file bytes out of
+  * the scan entirely (no 2 GiB/file cap, no O(file) row). Each task then
+  * opens its file as a Hadoop `FSDataInputStream` and walks `Content-Length`
+  * boundaries — no regex over payload bytes, no whole-file buffer,
+  * O(largest record) memory regardless of file size. Header field names are
+  * matched case-insensitively (WARC/HTTP field names are case-insensitive
+  * per spec). Records with a missing/garbled Content-Length or a truncated
   * payload end that file's parse cleanly (crawl readers skip corrupt tails;
   * nothing silently zero-pads).
   */
@@ -125,8 +131,14 @@ object Warc {
           ok = true
         } finally {
           out.close()
-          if (ok) { fs.delete(fin, false); fs.rename(tmp, fin) }
-          else fs.delete(tmp, false)
+          if (ok) {
+            // a false rename (object stores / races) would silently commit a
+            // hole under the driver's _SUCCESS — fail the task so it retries
+            fs.delete(fin, false)
+            if (!fs.rename(tmp, fin))
+              throw new java.io.IOException(
+                s"WARC commit failed: rename $tmp -> $fin returned false")
+          } else fs.delete(tmp, false)
         }
       }
     }
@@ -139,36 +151,53 @@ object Warc {
   /** Read WARC files under `dir` into `(url, warc_ts, html, lang)` — one
     * task per file (Common Crawl's own parallelism unit). Non-`response`
     * records (warcinfo, request, metadata) are skipped, matching how crawl
-    * consumers read CC. */
+    * consumers read CC. Only file PATHS flow through the scan (column
+    * pruning removes `content` from the binaryFile read schema); bytes are
+    * streamed straight from the FileSystem, so a ~1 GB CC file costs
+    * O(largest record) task memory, not O(file). */
   def read(spark: SparkSession, dir: String): DataFrame =
-    parseFiles(spark.read.format("binaryFile")
+    parsePaths(spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc*").load(dir)
-      .select(col("path"), col("content")))
+      .select(col("path")), spark)
 
   /** Streaming variant: watch `dir` for new WARC files and emit their
     * response records as an unbounded `(url, warc_ts, html, lang)` stream —
     * continuous crawl ingestion. Identical parse as [[read]]; the file
     * source tracks processed files in the checkpoint, so each WARC file is
-    * ingested exactly once across restarts. */
+    * ingested exactly once across restarts. As in [[read]], only `path` is
+    * selected — the source never materializes file bytes in rows. */
   def readStream(spark: SparkSession, dir: String): DataFrame =
-    parseFiles(spark.readStream.format("binaryFile")
+    parsePaths(spark.readStream.format("binaryFile")
       .schema(StructType(Seq( // file streams require an explicit schema
         StructField("path", StringType),
         StructField("modificationTime", TimestampType),
         StructField("length", LongType),
         StructField("content", BinaryType))))
       .option("pathGlobFilter", "*.warc*").load(dir)
-      .select(col("path"), col("content")))
+      .select(col("path")), spark)
 
-  /** (path, content) rows -> parsed response records; works identically on
-    * batch and streaming inputs (stateless flatMap). */
-  private def parseFiles(files: DataFrame): DataFrame = {
+  /** (path) rows -> parsed response records; works identically on batch and
+    * streaming inputs (stateless mapPartitions). Each file is opened as a
+    * Hadoop input stream and parsed record-by-record; the stream closes at
+    * parse end, with a task-completion listener as the backstop for
+    * consumers that stop early (e.g. limit). */
+  private def parsePaths(files: DataFrame, spark: SparkSession): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(readSchema)
-    files.flatMap { r =>
-      val raw = new ByteArrayInputStream(r.getAs[Array[Byte]](1))
-      val in: InputStream =
-        if (r.getString(0).endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
-      parseStream(in)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    files.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val p = new org.apache.hadoop.fs.Path(r.getString(0))
+        val raw = p.getFileSystem(conf.value).open(p)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          try raw.close() catch { case _: java.io.IOException => () }
+        }
+        val in: InputStream =
+          if (p.getName.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16)
+          else new java.io.BufferedInputStream(raw, 1 << 16)
+        parseStream(in)
+      }
     }(enc)
   }
 
@@ -189,6 +218,15 @@ object Warc {
     * payload cut short by EOF — ends the parse of this file cleanly after
     * the records already emitted. */
   private def parseStream(in: InputStream): Iterator[Row] = new Iterator[Row] {
+    private var closed = false
+    private def closeIn(): Unit = if (!closed) {
+      closed = true; try in.close() catch { case _: java.io.IOException => () }
+    }
+    private def advance(): Row = {
+      val r = advance0()
+      if (r == null) closeIn() // EOF or corrupt tail: the file is done
+      r
+    }
     private var nextRow: Row = advance()
     override def hasNext: Boolean = nextRow != null
     override def next(): Row = { val r = nextRow; nextRow = advance(); r }
@@ -216,15 +254,25 @@ object Warc {
     }
 
     @annotation.tailrec
-    private def advance(): Row = {
+    private def advance0(): Row = {
       val header = readHeader()
       if (header == null || !header.startsWith("WARC/")) null // corrupt/EOF: stop
       else {
+        // WARC (and HTTP) field names are case-insensitive per spec —
+        // third-party files write e.g. `content-length`; an exact-case miss
+        // here would end the whole file's parse at the len<0 branch below
         def h(name: String): String = {
-          val idx = header.indexOf(s"\r\n$name:")
+          val key = "\r\n" + name + ":"
+          var idx = -1
+          var i = 0
+          val limit = header.length - key.length
+          while (idx < 0 && i <= limit) {
+            if (header.regionMatches(true, i, key, 0, key.length)) idx = i
+            i += 1
+          }
           if (idx < 0) null
           else {
-            val s = idx + name.length + 3
+            val s = idx + key.length
             val e = header.indexOf("\r\n", s)
             header.substring(s, if (e < 0) header.length else e).trim
           }
@@ -242,18 +290,20 @@ object Warc {
           catch { case _: EOFException => return null } // truncated tail: stop
           val uri  = h("WARC-Target-URI")
           val date = h("WARC-Date")
-          if (h("WARC-Type") != "response" || uri == null || date == null) advance()
+          if (!"response".equalsIgnoreCase(h("WARC-Type")) || uri == null ||
+            date == null) advance0()
           else {
             // real CC response records hold a full HTTP message
             // (Content-Type: application/http): html is the BODY after the
             // HTTP head's CRLFCRLF. Our own text/html records are the body.
             val ct = h("Content-Type")
             val body =
-              if (ct != null && ct.startsWith("application/http")) httpBody(payload)
+              if (ct != null && ct.regionMatches(true, 0, "application/http", 0, 16))
+                httpBody(payload)
               else payload
             val ts = try java.sql.Timestamp.from(Instant.parse(date))
                      catch { case _: java.time.format.DateTimeParseException => null }
-            if (ts == null) advance() // garbled date: skip record, keep walking
+            if (ts == null) advance0() // garbled date: skip record, keep walking
             else Row(uri, ts, body, h("WARC-Identified-Content-Language"))
           }
         }

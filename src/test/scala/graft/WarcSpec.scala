@@ -151,6 +151,53 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     } finally rm(d)
   }
 
+  test("read streams from the FileSystem: no `content` column in the scan, " +
+    "and files larger than the binaryFile row cap still read") {
+    val d = tmp()
+    try {
+      val p = pages(80L)
+      Warc.write(p, d, compress = false)
+      val df = Warc.read(spark, d)
+      // column pruning must remove `content` from the binaryFile read schema:
+      // file bytes never materialize as rows
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("content"), s"scan reads file bytes:\n$plan")
+      // binaryFile's maxLength cap only triggers when CONTENT is read; with a
+      // cap far below the file size, a successful read proves bytes flow
+      // through our Hadoop stream, not through binaryFile rows
+      val key = "spark.sql.sources.binaryFile.maxLength"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "64")
+      try assert(Warc.read(spark, d).count() === 80L)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    } finally rm(d)
+  }
+
+  test("header field names are case-insensitive (third-party WARC casing)") {
+    val d = tmp()
+    try {
+      // lowercase/mixed-case field names on the FIRST record — an exact-case
+      // parser would miss content-length and drop the whole file's tail
+      val body1 = "<p>a1</p>"
+      val rec1 = "WARC/1.0\r\nwarc-type: Response\r\nwarc-record-id: <urn:x:1>\r\n" +
+        "warc-date: 2020-09-13T12:26:40Z\r\nWarc-Target-Uri: https://cc.example/lc\r\n" +
+        s"content-type: text/html\r\ncontent-length: ${body1.length}\r\n\r\n$body1\r\n\r\n"
+      val body2 = "<p>b2</p>"
+      val rec2 = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:x:2>\r\n" +
+        "WARC-Date: 2020-09-13T12:26:41Z\r\nWARC-Target-URI: https://cc.example/uc\r\n" +
+        s"Content-Type: text/html\r\nContent-Length: ${body2.length}\r\n\r\n$body2\r\n\r\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get(d, "cc.warc"),
+        (rec1 + rec2).getBytes("UTF-8"))
+      val got = Warc.read(spark, d).orderBy("url").collect()
+      assert(got.length === 2) // both records survive, incl. the one AFTER the lc one
+      assert(new String(got(0).getAs[Array[Byte]]("html"), "UTF-8") === body1)
+      assert(new String(got(1).getAs[Array[Byte]]("html"), "UTF-8") === body2)
+    } finally rm(d)
+  }
+
   test("extracted text from warc-read html matches the original table (north-rule invariant)") {
     val d = tmp()
     try {
