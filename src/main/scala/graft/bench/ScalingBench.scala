@@ -176,15 +176,22 @@ object ScalingBench {
                           density: Double = 8.0,
                           reps: Int = 3): Map[Int, RunStats] = {
     var edges = 0L
-    val best = scala.collection.mutable.Map.empty[Int, Double]
+    val all = scala.collection.mutable.Map.empty[Int, List[Double]]
     for (rep <- 1 to reps; c <- coresList) {
       val (secs, e) = oneTimedRun(c, nPages, supersteps, density)
       edges = e
       System.err.println(f"[scaling] cores=$c rep=$rep secs=$secs%.2f")
-      if (!best.contains(c) || secs < best(c)) best(c) = secs
+      all(c) = all.getOrElse(c, Nil) :+ secs
     }
-    coresList.map(c => c -> RunStats(c, best(c), edges, supersteps)).toMap
+    lastRepTimes = all.toMap
+    coresList.map(c => c -> RunStats(c, all(c).min, edges, supersteps)).toMap
   }
+
+  /** Per-rep raw seconds of the most recent interleaved run (keyed by
+    * cores/executors, rep order preserved) — surfaced in the bench JSON so a
+    * loaded-box episode is visible in the committed artifact instead of
+    * masquerading as an engine regression. */
+  @volatile var lastRepTimes: Map[Int, List[Double]] = Map.empty
 
   /** Multi-JVM scaling pair (BASELINE.md "Multi-JVM cross-check", now
     * machine-visible in the bench JSON): the SAME job on REAL separate
@@ -196,18 +203,19 @@ object ScalingBench {
   def pageRankClusterInterleaved(executorsList: Seq[Int], nPages: Long,
                                  supersteps: Int,
                                  density: Double = 8.0,
-                                 reps: Int = 2): Map[Int, RunStats] = {
+                                 reps: Int = 3): Map[Int, RunStats] = {
     if (executorClasses.isEmpty) return Map.empty
     var edges = 0L
-    val best = scala.collection.mutable.Map.empty[Int, Double]
+    val all = scala.collection.mutable.Map.empty[Int, List[Double]]
     for (rep <- 1 to reps; n <- executorsList) {
       val (secs, e) = oneTimedRun(n, nPages, supersteps, density,
         forceCluster = true, forceWorkerCores = 1)
       edges = e
       System.err.println(f"[scaling-cluster] executors=$n rep=$rep secs=$secs%.2f")
-      if (!best.contains(n) || secs < best(n)) best(n) = secs
+      all(n) = all.getOrElse(n, Nil) :+ secs
     }
-    executorsList.map(n => n -> RunStats(n, best(n), edges, supersteps)).toMap
+    lastRepTimes = all.toMap
+    executorsList.map(n => n -> RunStats(n, all(n).min, edges, supersteps)).toMap
   }
 
   /** Secondary metrics at one parallelism level. */
