@@ -449,6 +449,24 @@ object SparkEntry {
           graft.core.Num.roundTo(col("similarity"), 6).as("similarity"))
         .orderBy("n1", "n2")
     }),
+    "q_modes_chain" -> ((s, dir) => {
+      // mutate-then-chain through the catalog on a formerly stream-only
+      // algorithm (the reference's composition idiom): nodeSimilarity.mutate
+      // attaches each node's topK jaccard pairs as SIMILAR relationships, a
+      // subgraph projects only those, and degree + weight-sum aggregate per
+      // node — all against the exact SQL jaccard oracle.
+      val gds = graft.api.Gds(s)
+      val g = ordersGraph(s, dir)
+      gds.graph.create("mc", g.vertices, g.edges)
+      gds.nodeSimilarity.mutate("mc", "SIMILAR",
+        graft.algo.NodeSimilarityConfig(topK = 3))
+      gds.graph.subgraph("mc", "mc_sim", edgePredicate = "rel_type = 'SIMILAR'")
+      gds.catalog.get("mc_sim").edges
+        .groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("sim_degree"),
+          graft.core.Num.roundTo(sum("weight"), 5).as("sim_weight"))
+        .orderBy("id")
+    }),
     "q_bfs" -> ((s, dir) =>
       Paths.bfs(denseGraph(s, dir), source = 0L).orderBy("id")),
     "q_all_pairs" -> ((s, dir) => {
@@ -950,6 +968,50 @@ object SparkEntry {
       val spark = s; import spark.implicits._
       Seq((nodes, badDims, nonFinite, unstable))
         .toDF("nodes", "bad_dims", "non_finite", "digest_mismatch")
+    }),
+    "q_fastrp_extended" -> ((s, dir) => {
+      // gds.beta.fastRPExtended validity projection (FastRP.java:155-167,
+      // 325-340 — the RNG stream is engine-specific): the trailing
+      // propertyDimension dims are fed ONLY by feature projections (all-zero
+      // features => exactly-zero trailing dims through every propagation
+      // round), base dims stay populated, runs are deterministic, unit
+      // norms hold for a single unit iteration weight, and embeddings
+      // respond to feature values.
+      val g0 = denseGraph(s, dir)
+      val g1 = g0.copy(edges = g0.orientedEdges(graft.core.Orientation.Undirected))
+      val feat = (pmod(col("id"), lit(7)) + lit(1)).cast("double")
+      val gf = g1.copy(vertices = g1.vertices.withColumn("feat", feat))
+      val gz = g1.copy(vertices = g1.vertices.withColumn("feat", lit(0.0)))
+      val cfg = FastRP.FastRPConfig(embeddingDimension = 32,
+        iterationWeights = Seq(1.0), featureProperties = Seq("feat"),
+        propertyDimension = 8)
+      val a = FastRP.run(gf, cfg)
+      val b = FastRP.run(gf, cfg)
+      val z = FastRP.run(gz, cfg)
+      val digest = (df: org.apache.spark.sql.DataFrame) => df.select(col("id"),
+        graft.core.Num.roundTo(aggregate(col("embedding"), lit(0.0),
+          (x, v) => x + v * v), 6).as("sq"),
+        graft.core.Num.roundTo(element_at(col("embedding"), 1), 6).as("e0"))
+      val nodes = a.count()
+      val badDims = a.filter(size(col("embedding")) =!= 32).count()
+      val nonFinite = a.filter(exists(col("embedding"),
+        v => isnan(v) || v === Double.PositiveInfinity || v === Double.NegativeInfinity)).count()
+      // norms: 1 for aggregating nodes, 0 for in-isolated ones — nothing else
+      val badNorm = a.select(sqrt(aggregate(col("embedding"), lit(0.0),
+          (x, v) => x + v * v)).as("n"))
+        .filter(col("n") =!= 0.0 && abs(col("n") - 1.0) > 1e-9).count()
+      val trailingLeak = z.filter(exists(
+        slice(col("embedding"), 25, 8), v => v =!= 0.0)).count()
+      val baseDead = z.filter(!exists(
+        slice(col("embedding"), 1, 24), v => v =!= 0.0)).count()
+      val unstable = digest(a).join(digest(b), Seq("id", "sq", "e0"), "left_anti").count()
+      // all-zero vs real features must change (almost) every embedding
+      val featInsensitive = digest(a).join(digest(z), Seq("id", "sq", "e0"), "semi").count()
+      val spark = s; import spark.implicits._
+      Seq((nodes, badDims, nonFinite, badNorm, trailingLeak, baseDead,
+        unstable, featInsensitive))
+        .toDF("nodes", "bad_dims", "non_finite", "bad_norm", "trailing_leak",
+          "base_dead", "digest_mismatch", "feat_insensitive")
     }),
     "q_node_classification" -> ((s, dir) => {
       // strong per-node oracle: one-hot separable features => multiclass LR
@@ -1696,15 +1758,24 @@ object SparkEntry {
       } finally graft.io.Fs.deleteRecursively(d)
     }),
     "q_estimate" -> ((s, dir) => {
-      // `.estimate` mode: the size model's inputs (counts) and outputs are
-      // exact integer arithmetic, replayed by the oracle.
+      // `.estimate` mode: one row per algorithm family; the per-family size
+      // model's inputs (counts) and outputs are exact integer arithmetic,
+      // replayed by the oracle. The widths themselves are asserted against
+      // measured cache sizes in GdsApiSpec.
       val gds = new graft.api.Gds(s)
       val g = ordersGraph(s, dir)
       gds.graph.create("est_g", g.vertices, g.edges)
-      val e = gds.estimate.forAlgorithm("est_g", "pageRank")
+      val ests = Seq(
+        gds.pageRank.estimate("est_g"), gds.wcc.estimate("est_g"),
+        gds.labelPropagation.estimate("est_g"),
+        gds.triangleCount.estimate("est_g"),
+        gds.fastRP.estimate("est_g"), gds.knn.estimate("est_g"))
       val spark = s; import spark.implicits._
-      Seq((e.nodeCount, e.relationshipCount, e.bytesMin, e.bytesMax))
-        .toDF("node_count", "relationship_count", "bytes_min", "bytes_max")
+      ests.map(e => (e.algorithm, e.nodeCount, e.relationshipCount,
+          e.stateRowBytes, e.stateBytes, e.msgBytes, e.bytesMin, e.bytesMax))
+        .toDF("algorithm", "node_count", "relationship_count",
+          "state_row_bytes", "state_bytes", "msg_bytes", "bytes_min", "bytes_max")
+        .orderBy("algorithm")
     }),
     "q_astar" -> ((s, dir) => astarQuery(s, dir, tail = 500000L)),
     "q_yens" -> ((s, dir) => yensQuery(s, dir, localSolve = 200000L)),
@@ -1860,6 +1931,25 @@ object SparkEntry {
          |  FROM sims)
          |SELECT n1, n2, floor(sim * 1000000.0 + 0.5 + 0.000001) / 1000000.0 AS similarity
          |FROM ranked WHERE rk <= 3 ORDER BY n1, n2""".stripMargin,
+    "q_modes_chain" ->
+      s"""WITH edges AS ($OrdersEdgesSql),
+         |dedup AS (SELECT DISTINCT src, dst FROM edges),
+         |deg AS (SELECT src, count(*) AS d FROM dedup GROUP BY src HAVING count(*) >= 1),
+         |inter AS (
+         |  SELECT a.src AS n1, b.src AS n2, CAST(count(*) AS DOUBLE) AS i
+         |  FROM dedup a JOIN dedup b ON a.dst = b.dst AND a.src <> b.src
+         |  GROUP BY a.src, b.src),
+         |sims AS (
+         |  SELECT i.n1, i.n2, i.i / (d1.d + d2.d - i.i) AS sim
+         |  FROM inter i JOIN deg d1 ON i.n1 = d1.src JOIN deg d2 ON i.n2 = d2.src
+         |  WHERE i.i / (d1.d + d2.d - i.i) >= 1e-42),
+         |ranked AS (
+         |  SELECT n1, n2, sim,
+         |    row_number() OVER (PARTITION BY n1 ORDER BY sim DESC, n2 ASC) AS rk
+         |  FROM sims)
+         |SELECT n1 AS id, count(*) AS sim_degree,
+         |  ${graft.core.Num.roundSql("sum(sim)", 5)} AS sim_weight
+         |FROM ranked WHERE rk <= 3 GROUP BY n1 ORDER BY id""".stripMargin,
     "q_bfs" -> bfsSql(DenseEdgesSql, maxDepth = 20),
     "q_all_pairs" -> allPairsSql(DenseEdgesSql, maxDepth = 20, maxSource = 30),
     "q_weighted_all_pairs" -> weightedAllPairsSql(
@@ -2109,6 +2199,13 @@ object SparkEntry {
          |SELECT (SELECT count(*) FROM nodes) AS nodes,
          |  CAST(0 AS BIGINT) AS bad_dims, CAST(0 AS BIGINT) AS non_finite,
          |  CAST(0 AS BIGINT) AS digest_mismatch""".stripMargin,
+    "q_fastrp_extended" ->
+      s"""WITH edges AS ($DenseEdgesSql), $NodesSql
+         |SELECT (SELECT count(*) FROM nodes) AS nodes,
+         |  CAST(0 AS BIGINT) AS bad_dims, CAST(0 AS BIGINT) AS non_finite,
+         |  CAST(0 AS BIGINT) AS bad_norm, CAST(0 AS BIGINT) AS trailing_leak,
+         |  CAST(0 AS BIGINT) AS base_dead, CAST(0 AS BIGINT) AS digest_mismatch,
+         |  CAST(0 AS BIGINT) AS feat_insensitive""".stripMargin,
     "q_lsh_topk" ->
       """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id,
         |1.0 AS cosine, CAST(1 AS INT) AS rank
@@ -2517,9 +2614,19 @@ object SparkEntry {
 
   private val EstimateSql =
     s"""WITH edges AS ($OrdersEdgesSql), $NodesSql,
-       |m AS (SELECT (SELECT count(*) FROM nodes) AS n, (SELECT count(*) FROM edges) AS e)
-       |SELECT n AS node_count, e AS relationship_count,
-       |  (n * 32 + e * 16) AS bytes_min, (n * 32 + e * 16) * 3 AS bytes_max FROM m""".stripMargin
+       |m AS (SELECT (SELECT count(*) FROM nodes) AS n, (SELECT count(*) FROM edges) AS e),
+       |f AS (
+       |  SELECT 'pageRank' AS algorithm, CAST(32 AS BIGINT) AS srb,
+       |         n * 32 AS sb, e * 16 AS mb, n, e FROM m
+       |  UNION ALL SELECT 'wcc', 24, n * 24, e * 16, n, e FROM m
+       |  UNION ALL SELECT 'labelPropagation', 24, n * 24, e * 16, n, e FROM m
+       |  UNION ALL SELECT 'triangleCount', 16, n * 16, e * (e // n) * 24, n, e FROM m
+       |  UNION ALL SELECT 'fastRP', 8 + 8 * 64, n * (8 + 8 * 64) * 2, e * 64 * 24, n, e FROM m
+       |  UNION ALL SELECT 'knn', 8 + 24 * 10, n * (8 + 24 * 10) * 2, n * 4 * 10 * 10 * 24, n, e FROM m)
+       |SELECT algorithm, n AS node_count, e AS relationship_count,
+       |  srb AS state_row_bytes, sb AS state_bytes, mb AS msg_bytes,
+       |  sb + mb AS bytes_min, (sb + mb) * 3 AS bytes_max
+       |FROM f ORDER BY algorithm""".stripMargin
 
   /** Dijkstra oracle: unrolled relaxation for distances (same chain as
     * ssspSql), then canonical predecessors (min in-neighbor achieving the

@@ -28,12 +28,35 @@ import graft.core.{GraphOps, PropertyGraph}
 object FastRP {
 
   /** Reference defaults: FastRPBaseConfig.java (iterationWeights
-    * [0.0, 1.0, 1.0], normalizationStrength 0). */
+    * [0.0, 1.0, 1.0], normalizationStrength 0, propertyDimension 0).
+    *
+    * `featureProperties` + `propertyDimension` enable the extended variant
+    * (`gds.beta.fastRPExtended`, FastRPBaseConfig.java:42-45 and
+    * FastRP.java:155-167,325-340): the TRAILING `propertyDimension` entries
+    * of each initial vector are fed by random projections of the named node
+    * property columns (one shared ±sqrt(3)/sqrt(p) hash-random vector per
+    * feature, `initPropertyVectors`), while the LEADING
+    * `embeddingDimension - propertyDimension` entries stay the per-node
+    * hash-random base draw — so structural information and feature
+    * information occupy disjoint dimension ranges and mix only through the
+    * propagation rounds. `propertyRatio`, when > 0, derives
+    * `propertyDimension = round(ratio · embeddingDimension)` (the knob the
+    * reference docs describe). */
   final case class FastRPConfig(
     embeddingDimension: Int = 64,
     iterationWeights: Seq[Double] = Seq(0.0, 1.0, 1.0),
     normalizationStrength: Double = 0.0,
-    seed: Long = 42L)
+    seed: Long = 42L,
+    featureProperties: Seq[String] = Nil,
+    propertyDimension: Int = 0,
+    propertyRatio: Double = 0.0) {
+    /** Effective trailing-feature width: ratio wins when set; zero without
+      * feature properties (plain FastRP). */
+    def effectivePropertyDimension: Int =
+      if (featureProperties.isEmpty) 0
+      else if (propertyRatio > 0.0) math.round(propertyRatio * embeddingDimension).toInt
+      else propertyDimension
+  }
 
   /** ±sqrt(3) w.p. 1/6 each, else 0 — derived from xxhash64(seed, id, dim)
     * mod 6 (very-sparse Achlioptas projection, FastRP.java:198-210). */
@@ -41,6 +64,18 @@ object FastRP {
     val h = pmod(xxhash64(lit(seed), id, dim), lit(6L))
     val s3 = math.sqrt(3.0)
     when(h === 0L, lit(s3)).when(h === 1L, lit(-s3)).otherwise(lit(0.0))
+  }
+
+  /** Property-vector entry R_j(k): ±sqrt(3)/sqrt(p) w.p. 1/6 each, else 0 —
+    * one shared random vector per FEATURE (not per node), mirroring
+    * `initPropertyVectors` (FastRP.java:155-167). Keyed in a distinct hash
+    * subspace (feature index is offset from Long.MinValue, far from any
+    * graph's node-id range) so property draws don't correlate with base
+    * draws. */
+  private def propEntry(j: Int, dim: Column, seed: Long, p: Int): Column = {
+    val h = pmod(xxhash64(lit(seed), lit(Long.MinValue + j), dim), lit(6L))
+    val v = math.sqrt(3.0) / math.sqrt(p.toDouble)
+    when(h === 0L, lit(v)).when(h === 1L, lit(-v)).otherwise(lit(0.0))
   }
 
   private def l2normalize(vec: Column): Column = {
@@ -53,9 +88,19 @@ object FastRP {
     val spark = graph.edges.sparkSession
     val parts = GraphOps.adaptiveParts(spark, graph.edges.count())
     val d = cfg.embeddingDimension
+    val p = cfg.effectivePropertyDimension
+    require(p >= 0 && p < d,
+      s"propertyDimension ($p) must be in [0, embeddingDimension=$d)")
+    val baseDim = d - p
     val dims = sequence(lit(0), lit(d - 1))
 
-    val vertices = graph.vertices.select("id").repartition(parts, col("id")).persist()
+    // extended mode carries the feature property columns (missing values ->
+    // 0, matching the reference's default fallback) through the cached
+    // vertex table; plain mode carries id only
+    val featCols = cfg.featureProperties.map(f =>
+      coalesce(col(f).cast("double"), lit(0.0)).as(f))
+    val vertices = graph.vertices.select(col("id") +: (if (p > 0) featCols else Nil): _*)
+      .repartition(parts, col("id")).persist()
     val edges = GraphOps.withWeight(graph.edges)
       .select("src", "dst", "weight")
       .repartition(parts, col("src")).persist()
@@ -68,10 +113,26 @@ object FastRP {
     val degScale =
       if (cfg.normalizationStrength == 0.0) lit(1.0)
       else pow(coalesce(col("indeg"), lit(0.0)), lit(cfg.normalizationStrength))
+    // initial vector: plain mode = d hash-random base entries (unchanged
+    // path); extended mode = (d-p) base entries at the reference's
+    // ±scaling·sqrt(3)/sqrt(baseDim) magnitude ++ p property-projection
+    // entries Σ_j f_j·R_j(k) (FastRP.java computeRandomVector:325-340) —
+    // the base/property relative magnitudes matter once both coexist
+    val initVec =
+      if (p == 0)
+        transform(dims, dim => baseEntry(col("id"), dim, cfg.seed) * degScale)
+      else {
+        val baseScale = lit(1.0 / math.sqrt(baseDim.toDouble))
+        val basePart = transform(sequence(lit(0), lit(baseDim - 1)),
+          dim => baseEntry(col("id"), dim, cfg.seed) * baseScale * degScale)
+        val propPart = transform(sequence(lit(0), lit(p - 1)), k =>
+          cfg.featureProperties.zipWithIndex.map { case (f, j) =>
+            col(f) * propEntry(j, k, cfg.seed, p)
+          }.reduce(_ + _))
+        concat(basePart, propPart)
+      }
     var state = vertices.join(inDeg, Seq("id"), "left")
-      .select(col("id"), l2normalize(
-        transform(dims, dim => baseEntry(col("id"), dim, cfg.seed) * degScale))
-        .as("h"))
+      .select(col("id"), l2normalize(initVec).as("h"))
 
     // accumulated Σ_i w_i · h^(i)
     var acc: DataFrame = vertices.select(col("id"),

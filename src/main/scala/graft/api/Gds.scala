@@ -138,16 +138,29 @@ final class Gds(val spark: SparkSession) {
       catalog.mutateNodeProperty(name, property, stream(name, cfg))
     def write(name: String, dir: String, cfg: PageRankConfig = PageRankConfig()): Unit =
       Modes.write(stream(name, cfg), dir)
+    def estimate(name: String): EstimateResult = Gds.this.estimate.pageRank(name)
   }
 
   object articleRank {
     def stream(name: String, cfg: PageRankConfig = PageRankConfig()): DataFrame =
       PageRank.articleRank(catalog.get(name), cfg).scores
+    def stats(name: String, cfg: PageRankConfig = PageRankConfig()): Row =
+      Modes.stats(stream(name, cfg), "score")
+    def mutate(name: String, property: String, cfg: PageRankConfig = PageRankConfig()): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name, cfg))
+    def write(name: String, dir: String, cfg: PageRankConfig = PageRankConfig()): Unit =
+      Modes.write(stream(name, cfg), dir)
   }
 
   object eigenvector {
     def stream(name: String, cfg: PageRankConfig = PageRankConfig()): DataFrame =
       Eigenvector.run(catalog.get(name), cfg).scores
+    def stats(name: String, cfg: PageRankConfig = PageRankConfig()): Row =
+      Modes.stats(stream(name, cfg), "score")
+    def mutate(name: String, property: String, cfg: PageRankConfig = PageRankConfig()): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name, cfg))
+    def write(name: String, dir: String, cfg: PageRankConfig = PageRankConfig()): Unit =
+      Modes.write(stream(name, cfg), dir)
   }
 
   object wcc {
@@ -159,6 +172,7 @@ final class Gds(val spark: SparkSession) {
       catalog.mutateNodeProperty(name, property, stream(name, cfg))
     def write(name: String, dir: String, cfg: WccConfig = WccConfig()): Unit =
       Modes.write(stream(name, cfg), dir)
+    def estimate(name: String): EstimateResult = Gds.this.estimate.wcc(name)
   }
 
   object labelPropagation {
@@ -168,6 +182,9 @@ final class Gds(val spark: SparkSession) {
       Modes.communityStats(stream(name, cfg), "label")
     def mutate(name: String, property: String, cfg: LpConfig = LpConfig()): PropertyGraph =
       catalog.mutateNodeProperty(name, property, stream(name, cfg))
+    def write(name: String, dir: String, cfg: LpConfig = LpConfig()): Unit =
+      Modes.write(stream(name, cfg), dir)
+    def estimate(name: String): EstimateResult = Gds.this.estimate.labelPropagation(name)
   }
 
   object triangleCount {
@@ -179,22 +196,58 @@ final class Gds(val spark: SparkSession) {
     }
     def mutate(name: String, property: String, cfg: TriangleCountConfig = TriangleCountConfig()): PropertyGraph =
       catalog.mutateNodeProperty(name, property, stream(name, cfg))
+    def write(name: String, dir: String, cfg: TriangleCountConfig = TriangleCountConfig()): Unit =
+      Modes.write(stream(name, cfg), dir)
+    def estimate(name: String): EstimateResult = Gds.this.estimate.triangleCount(name)
   }
 
   object localClusteringCoefficient {
     def stream(name: String): DataFrame =
       TriangleCount.localClusteringCoefficient(catalog.get(name))._1
+    def stats(name: String): (Double, Row) = {
+      val (coeffs, avg) = TriangleCount.localClusteringCoefficient(catalog.get(name))
+      (avg, Modes.stats(coeffs, "coefficient"))
+    }
+    def mutate(name: String, property: String): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name))
+    def write(name: String, dir: String): Unit = Modes.write(stream(name), dir)
   }
 
   object degree {
     def stream(name: String, orientation: Orientation = Orientation.Natural,
                weighted: Boolean = false): DataFrame =
       DegreeCentrality.run(catalog.get(name), orientation, weighted)
+    def stats(name: String, orientation: Orientation = Orientation.Natural,
+              weighted: Boolean = false): Row =
+      Modes.stats(stream(name, orientation, weighted), "score")
+    def mutate(name: String, property: String,
+               orientation: Orientation = Orientation.Natural,
+               weighted: Boolean = false): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name, orientation, weighted))
+    def write(name: String, dir: String,
+              orientation: Orientation = Orientation.Natural,
+              weighted: Boolean = false): Unit =
+      Modes.write(stream(name, orientation, weighted), dir)
   }
 
   object nodeSimilarity {
     def stream(name: String, cfg: NodeSimilarityConfig = NodeSimilarityConfig()): DataFrame =
       NodeSimilarity.run(catalog.get(name), cfg)
+    def stats(name: String, cfg: NodeSimilarityConfig = NodeSimilarityConfig()): Row =
+      Modes.stats(stream(name, cfg), "similarity")
+    /** `gds.nodeSimilarity.mutate`: the similarity pairs become NEW
+      * relationships of `relType` with the similarity as `weight` — the
+      * reference's mutateRelationshipType/mutateProperty composition idiom
+      * (proc/similarity/.../NodeSimilarityMutateProc.java), enabling
+      * downstream algorithms to run over the similarity graph. */
+    def mutate(name: String, relType: String,
+               cfg: NodeSimilarityConfig = NodeSimilarityConfig()): PropertyGraph =
+      catalog.addRelationships(name, relType, stream(name, cfg)
+        .select(col("n1").as("src"), col("n2").as("dst"),
+          col("similarity").as("weight")))
+    def write(name: String, dir: String,
+              cfg: NodeSimilarityConfig = NodeSimilarityConfig()): Unit =
+      Modes.write(stream(name, cfg), dir)
   }
 
   object louvain {
@@ -225,19 +278,33 @@ final class Gds(val spark: SparkSession) {
     def stats(name: String): Row = Modes.stats(stream(name), "centrality")
     def mutate(name: String, property: String): PropertyGraph =
       catalog.mutateNodeProperty(name, property, stream(name))
+    def write(name: String, dir: String): Unit = Modes.write(stream(name), dir)
   }
 
   object closeness {
     def stream(name: String, wassermanFaust: Boolean = false): DataFrame =
       MsBfs.closeness(catalog.get(name), wassermanFaust = wassermanFaust)
+    def stats(name: String, wassermanFaust: Boolean = false): Row =
+      Modes.stats(stream(name, wassermanFaust), "centrality")
+    def mutate(name: String, property: String, wassermanFaust: Boolean = false): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name, wassermanFaust))
+    def write(name: String, dir: String, wassermanFaust: Boolean = false): Unit =
+      Modes.write(stream(name, wassermanFaust), dir)
     object harmonic {
       def stream(name: String): DataFrame = MsBfs.harmonic(catalog.get(name))
+      def stats(name: String): Row = Modes.stats(stream(name), "centrality")
+      def mutate(name: String, property: String): PropertyGraph =
+        catalog.mutateNodeProperty(name, property, stream(name))
+      def write(name: String, dir: String): Unit = Modes.write(stream(name), dir)
     }
   }
 
   object scc {
     def stream(name: String): DataFrame = Scc.run(catalog.get(name))
     def stats(name: String): Row = Modes.communityStats(stream(name), "sccId")
+    def mutate(name: String, property: String): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name))
+    def write(name: String, dir: String): Unit = Modes.write(stream(name), dir)
   }
 
   object shortestPath {
@@ -291,10 +358,28 @@ final class Gds(val spark: SparkSession) {
   object hits {
     def stream(name: String, cfg: HitsConfig = HitsConfig()): DataFrame =
       Hits.run(catalog.get(name), cfg)
+    /** Distributions of both scores: (hub stats, auth stats). */
+    def stats(name: String, cfg: HitsConfig = HitsConfig()): (Row, Row) = {
+      val r = stream(name, cfg)
+      (Modes.stats(r, "hub"), Modes.stats(r, "auth"))
+    }
+    /** Attaches BOTH scores: `<property>hub` / `<property>auth`, matching
+      * the reference's hitsHub/hitsAuth property pair (gds.alpha.hits). */
+    def mutate(name: String, property: String, cfg: HitsConfig = HitsConfig()): PropertyGraph = {
+      val r = stream(name, cfg)
+      catalog.mutateNodeProperty(name, s"${property}hub", r.select("id", "hub"))
+      catalog.mutateNodeProperty(name, s"${property}auth", r.select("id", "auth"))
+    }
+    def write(name: String, dir: String, cfg: HitsConfig = HitsConfig()): Unit =
+      Modes.write(stream(name, cfg), dir)
   }
 
   object k1coloring {
     def stream(name: String): DataFrame = K1Coloring.run(catalog.get(name))
+    def stats(name: String): Row = Modes.communityStats(stream(name), "color")
+    def mutate(name: String, property: String): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name))
+    def write(name: String, dir: String): Unit = Modes.write(stream(name), dir)
   }
 
   /** gds.fastRP — sparse-random-projection node embeddings
@@ -305,6 +390,26 @@ final class Gds(val spark: SparkSession) {
     def mutate(name: String, property: String,
                cfg: FastRP.FastRPConfig = FastRP.FastRPConfig()): PropertyGraph =
       catalog.mutateNodeProperty(name, property, stream(name, cfg))
+    def write(name: String, dir: String,
+              cfg: FastRP.FastRPConfig = FastRP.FastRPConfig()): Unit =
+      Modes.write(stream(name, cfg), dir)
+    def estimate(name: String,
+                 cfg: FastRP.FastRPConfig = FastRP.FastRPConfig()): EstimateResult =
+      Gds.this.estimate.fastRP(name, cfg)
+  }
+
+  /** `gds.beta.fastRPExtended` — FastRP with the trailing propertyDimension
+    * dims fed by node-feature projections (FastRP.scala extended mode). */
+  object fastRPExtended {
+    def stream(name: String, featureProperties: Seq[String],
+               cfg: FastRP.FastRPConfig = FastRP.FastRPConfig(propertyRatio = 0.5)): DataFrame =
+      FastRP.run(catalog.get(name), cfg.copy(featureProperties = featureProperties))
+    def mutate(name: String, property: String, featureProperties: Seq[String],
+               cfg: FastRP.FastRPConfig = FastRP.FastRPConfig(propertyRatio = 0.5)): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name, featureProperties, cfg))
+    def write(name: String, dir: String, featureProperties: Seq[String],
+              cfg: FastRP.FastRPConfig = FastRP.FastRPConfig(propertyRatio = 0.5)): Unit =
+      Modes.write(stream(name, featureProperties, cfg), dir)
   }
 
   /** gds.node2vec — biased second-order random walks + skip-gram embeddings
@@ -316,6 +421,9 @@ final class Gds(val spark: SparkSession) {
     def mutate(name: String, property: String,
                cfg: Node2Vec.Node2VecConfig = Node2Vec.Node2VecConfig()): PropertyGraph =
       catalog.mutateNodeProperty(name, property, stream(name, cfg))
+    def write(name: String, dir: String,
+              cfg: Node2Vec.Node2VecConfig = Node2Vec.Node2VecConfig()): Unit =
+      Modes.write(stream(name, cfg), dir)
   }
 
   /** gds.knn — approximate k-nearest-neighbours by NN-descent over a vector
@@ -329,6 +437,22 @@ final class Gds(val spark: SparkSession) {
     def streamVectors(vectors: DataFrame, cfg: Knn.KnnConfig = Knn.KnnConfig(),
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
       Knn.run(vectors, cfg, idCol, vecCol).neighbors
+    def stats(name: String, property: String,
+              cfg: Knn.KnnConfig = Knn.KnnConfig()): Row =
+      Modes.stats(stream(name, property, cfg), "similarity")
+    /** `gds.knn.mutate`: each node's top-k neighbour list becomes NEW
+      * relationships of `relType` with the similarity as `weight`
+      * (reference: proc/similarity/.../KnnMutateProc.java). */
+    def mutate(name: String, relType: String, property: String,
+               cfg: Knn.KnnConfig = Knn.KnnConfig()): PropertyGraph =
+      catalog.addRelationships(name, relType, stream(name, property, cfg)
+        .select(col("id").as("src"), col("neighbor_id").as("dst"),
+          col("similarity").as("weight")))
+    def write(name: String, dir: String, property: String,
+              cfg: Knn.KnnConfig = Knn.KnnConfig()): Unit =
+      Modes.write(stream(name, property, cfg), dir)
+    def estimate(name: String, cfg: Knn.KnnConfig = Knn.KnnConfig()): EstimateResult =
+      Gds.this.estimate.knn(name, cfg)
   }
 
   /** `gds.alpha.ml.ann.stream` (reference: alpha/alpha-proc/.../
@@ -374,6 +498,13 @@ final class Gds(val spark: SparkSession) {
     def stream(name: String, maxIterations: Int = 10,
                minAssociationStrength: Double = 0.2): DataFrame =
       Sllpa.run(catalog.get(name), maxIterations, minAssociationStrength).communities
+    def mutate(name: String, property: String, maxIterations: Int = 10,
+               minAssociationStrength: Double = 0.2): PropertyGraph =
+      catalog.mutateNodeProperty(name, property,
+        stream(name, maxIterations, minAssociationStrength))
+    def write(name: String, dir: String, maxIterations: Int = 10,
+              minAssociationStrength: Double = 0.2): Unit =
+      Modes.write(stream(name, maxIterations, minAssociationStrength), dir)
   }
 
   /** gds.alpha.influenceMaximization — RIS greedy seed selection
@@ -467,30 +598,74 @@ final class Gds(val spark: SparkSession) {
   }
 
   /** `.estimate` mode (reference: proc/common/.../AlgoBaseProc.java:262-299 +
-    * MemoryEstimations): a cheap size model instead of a run. Spark manages
-    * executor memory itself, so the estimate reports the logical state
-    * footprint an algorithm's per-superstep working set implies. */
+    * MemoryEstimations): a cheap per-family size model instead of a run.
+    * Spark manages executor memory itself, so the estimate reports the
+    * LOGICAL footprint an algorithm implies: bytes per persisted state row
+    * (8 B per long/double column + 1 B per boolean, times the number of
+    * live state generations) and bytes of shuffled message/intermediate
+    * rows per superstep. The widths are asserted against measured
+    * in-memory-cache sizes (within 2x) in GdsApiSpec — honest numbers, not
+    * a vestigial constant. `bytesMax` = 3x headroom (execution + shuffle +
+    * cache copies). */
   object estimate {
-    def forAlgorithm(name: String, algorithm: String): EstimateResult = {
+    private def dims(name: String): (Long, Long) = {
       val g = catalog.get(name)
-      val n = g.vertices.count()
-      val m = g.edges.count()
-      // bytes per row: 8B id + payload doubles; shuffle rows for messages
-      val (stateBytes, msgBytes) = algorithm match {
-        case "pageRank" | "eigenvector"    => (n * 32L, m * 16L)
-        case "wcc" | "labelPropagation"    => (n * 24L, m * 16L)
-        case "triangleCount"               => (n * 16L, m * 24L * 2)
-        case "betweenness"                 => (n * n * 28L, n * m * 16L) // all sources
-        case "louvain"                     => (n * 32L, m * 24L)
-        case _                             => (n * 32L, m * 16L)
-      }
-      EstimateResult(n, m, stateBytes + msgBytes,
-        (stateBytes + msgBytes) * 3) // x3 headroom: exec + shuffle + cache
+      (g.vertices.count(), g.edges.count())
     }
+    private def mk(algo: String, n: Long, m: Long, stateRow: Long,
+                   generations: Long, msg: Long): EstimateResult = {
+      val state = n * stateRow * generations
+      EstimateResult(algo, n, m, stateRow, state, msg, state + msg, (state + msg) * 3)
+    }
+    /** State (id, rank, delta, active) = 8+8+8+8; messages (dst, partial). */
+    def pageRank(name: String): EstimateResult =
+      { val (n, m) = dims(name); mk("pageRank", n, m, 32L, 1L, m * 16L) }
+    /** State (id, component, active); messages (dst, candidate label). */
+    def wcc(name: String): EstimateResult =
+      { val (n, m) = dims(name); mk("wcc", n, m, 24L, 1L, m * 16L) }
+    /** State (id, label, active); messages (dst, label[, weight] combined). */
+    def labelPropagation(name: String): EstimateResult =
+      { val (n, m) = dims(name); mk("labelPropagation", n, m, 24L, 1L, m * 16L) }
+    /** State (id, triangles); intermediate = wedge stream of (a,b,c) rows,
+      * ~ m * avgDegree on the degree-ordered orientation. */
+    def triangleCount(name: String): EstimateResult = {
+      val (n, m) = dims(name)
+      mk("triangleCount", n, m, 16L, 1L, if (n == 0) 0L else m * (m / n) * 24L)
+    }
+    /** State (id, array[d]) for current round + accumulator; messages =
+      * exploded (dst, dim, partial) per edge per dimension. */
+    def fastRP(name: String,
+               cfg: FastRP.FastRPConfig = FastRP.FastRPConfig()): EstimateResult = {
+      val (n, m) = dims(name)
+      val d = cfg.embeddingDimension
+      mk("fastRP", n, m, 8L + 8L * d, 2L, m * d.toLong * 24L)
+    }
+    /** State (id, k neighbor structs) forward + reverse; candidates per
+      * NN-descent iteration = (2k)^2 pairs per node. */
+    def knn(name: String, cfg: Knn.KnnConfig = Knn.KnnConfig()): EstimateResult = {
+      val (n, m) = dims(name)
+      val k = cfg.k.toLong
+      mk("knn", n, m, 8L + 24L * k, 2L, n * 4L * k * k * 24L)
+    }
+    def forAlgorithm(name: String, algorithm: String): EstimateResult =
+      algorithm match {
+        case "pageRank" | "eigenvector" | "articleRank" =>
+          pageRank(name).copy(algorithm = algorithm)
+        case "wcc" | "scc"        => wcc(name).copy(algorithm = algorithm)
+        case "labelPropagation"   => labelPropagation(name)
+        case "triangleCount"      => triangleCount(name)
+        case "fastRP"             => fastRP(name)
+        case "knn"                => knn(name)
+        case other => // default: one double of state, one shuffled message/edge
+          val (n, m) = dims(name); mk(other, n, m, 32L, 1L, m * 16L)
+      }
   }
 }
 
-final case class EstimateResult(nodeCount: Long, relationshipCount: Long,
+final case class EstimateResult(algorithm: String,
+                                nodeCount: Long, relationshipCount: Long,
+                                stateRowBytes: Long, stateBytes: Long,
+                                msgBytes: Long,
                                 bytesMin: Long, bytesMax: Long)
 
 object Gds {

@@ -42,6 +42,7 @@ final class Pregel private (graph: PropertyGraph) {
   private var msgsToDst    = Vector.empty[Column]
   private var msgsToSrc    = Vector.empty[Column]
   private var reducer: Option[Column] = None
+  private var masterAggs = Vector.empty[(String, Column)]
   private var haltCond: Option[Column] = None
   private var maxIterations = 10
   private var checkpointDir: Option[String] = None
@@ -68,6 +69,25 @@ final class Pregel private (graph: PropertyGraph) {
   /** Message reducer over [[Pregel.msg]] — the reference's
     * Reducer (SUM/MIN/MAX/COUNT/...): any aggregate expression. */
   def aggMsgs(agg: Column): this.type = { reducer = Some(agg); this }
+
+  /** Per-superstep master step (the reference's
+    * `PregelComputation.masterCompute`, PregelComputation.java:98-117): an
+    * aggregate expression over ALL vertices' state columns, evaluated at the
+    * start of every superstep and visible to that superstep's message /
+    * update / halt expressions as [[Pregel.master]]`(name)`.
+    *
+    * Spark-first shape: the aggregate is a 1-row in-plan frame BROADCAST
+    * back into the superstep (the Eigenvector L2 pattern,
+    * [[graft.algo.Eigenvector]]) — no driver `.first()` per superstep, so
+    * fused supersteps chain lazily through it. Example — per-round L2
+    * normalization:
+    * {{{
+    * .withMasterCompute("l2", sqrt(sum(col("next") * col("next"))))
+    * .sendMsgToDst(Pregel.src("next") / Pregel.master("l2"))
+    * }}} */
+  def withMasterCompute(name: String, agg: Column): this.type = {
+    masterAggs :+= (name -> agg); this
+  }
 
   /** Extra halt predicate evaluated on the UPDATED state columns: a vertex
     * that satisfies it stays halted even if messaged next superstep. */
@@ -124,7 +144,17 @@ final class Pregel private (graph: PropertyGraph) {
       maxSteps = maxIterations, checkpointDir = checkpointDir,
       checkpointInterval = checkpointInterval, fusedSteps = fusedSteps,
       shuffleWidth = Some(width),
-      checkpointKeepLast = checkpointKeepLast)) { (state, _) =>
+      checkpointKeepLast = checkpointKeepLast)) { (state0, _) =>
+      // masterCompute: one 1-row aggregate over ALL vertices' current state,
+      // broadcast back into the superstep's own plan (no driver round-trip;
+      // chains lazily under fusedSteps like the rest of the step)
+      val masterRow: Option[DataFrame] =
+        if (masterAggs.isEmpty) None
+        else {
+          val aggs = masterAggs.map { case (n, a) => a.as(s"_pregel_master_$n") }
+          Some(state0.agg(aggs.head, aggs.tail: _*))
+        }
+      val state = masterRow.fold(state0)(r => state0.crossJoin(broadcast(r)))
       // Sender must be active (classic Pregel: halted vertices don't compute).
       // The sender of a dst-bound message is the edge's src and vice versa,
       // so each direction filters activity on its own endpoint.
@@ -145,6 +175,10 @@ final class Pregel private (graph: PropertyGraph) {
           if (references(msgs, s"_pregel_$otherSide"))
             t = t.join(endpoint(otherSide, activeOnly = false),
               col(otherSide) === col(s"__${otherSide}_id"))
+          // master values join into the message frame only if referenced
+          masterRow.foreach { r =>
+            if (references(msgs, "_pregel_master_")) t = t.crossJoin(broadcast(r))
+          }
           t.select(col(toCol).as("id"), m.as("_pregel_msg"))
             .filter(col("_pregel_msg").isNotNull)
         }
@@ -178,6 +212,10 @@ object Pregel {
   /** Sender-side / receiver-side state column in a message expression. */
   def src(name: String): Column = col(s"_pregel_src.$name")
   def dst(name: String): Column = col(s"_pregel_dst.$name")
+
+  /** A [[Pregel#withMasterCompute]] aggregate's value, usable in message /
+    * update / halt expressions of the superstep it was computed for. */
+  def master(name: String): Column = col(s"_pregel_master_$name")
 
   /** Edge attribute column in a message expression. */
   def edge(name: String): Column = col(name)

@@ -54,6 +54,56 @@ class FastRpSpec extends AnyFunSuite with SparkTestBase {
     assert(da != db)
   }
 
+  test("fastRPExtended: trailing propertyDimension dims carry features, leading dims are structural") {
+    // feature = 0 for every node → the property part of every INITIAL vector
+    // is the zero vector, and propagation (linear + per-round L2 norm) keeps
+    // the trailing p dims exactly 0.0 while base dims stay populated
+    val gz = graph.copy(vertices = graph.vertices.withColumn("feat", lit(0.0)))
+    val cfg = FastRP.FastRPConfig(embeddingDimension = 16,
+      iterationWeights = Seq(1.0), featureProperties = Seq("feat"),
+      propertyDimension = 4)
+    val z = FastRP.run(gz, cfg).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    z.foreach { case (id, e) =>
+      assert(e.length == 16)
+      assert(e.drop(12).forall(_ == 0.0), s"node $id trailing dims not zero: $e")
+      assert(e.take(12).exists(_ != 0.0), s"node $id base dims all zero")
+    }
+    // nonzero features → trailing dims populated (a.s.), embeddings deterministic
+    val gf = graph.copy(vertices = graph.vertices
+      .withColumn("feat", (col("id") % 3 + 1).cast("double")))
+    val a = FastRP.run(gf, cfg).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = FastRP.run(gf, cfg).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b)
+    assert(a.values.exists(_.drop(12).exists(_ != 0.0)), "no trailing dim ever populated")
+    // embeddings respond to the feature VALUES, not just their presence
+    assert(a != z)
+    // unit norms still hold for single-unit-weight runs
+    a.foreach { case (id, e) =>
+      val n = math.sqrt(e.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"node $id norm $n")
+    }
+  }
+
+  test("fastRPExtended: propertyRatio derives the dimension split; empty featureProperties stays plain") {
+    val gf = graph.copy(vertices = graph.vertices
+      .withColumn("feat", (col("id") + 1).cast("double")))
+    val viaRatio = FastRP.FastRPConfig(embeddingDimension = 16,
+      featureProperties = Seq("feat"), propertyRatio = 0.25)
+    assert(viaRatio.effectivePropertyDimension == 4)
+    val viaDim = viaRatio.copy(propertyRatio = 0.0, propertyDimension = 4)
+    val a = FastRP.run(gf, viaRatio).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = FastRP.run(gf, viaDim).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b)
+    // propertyDimension without featureProperties is a no-op: byte-identical
+    // to the plain config (the p=0 code path is untouched)
+    val plain = FastRP.run(graph, FastRP.FastRPConfig(embeddingDimension = 16))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val noFeat = FastRP.run(graph, FastRP.FastRPConfig(embeddingDimension = 16,
+      propertyDimension = 4))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(plain == noFeat)
+  }
+
   test("structurally equivalent nodes get identical aggregated neighborhoods") {
     // two leaves hanging off the same hub see the same neighbor multiset,
     // so their ROUND-1 aggregation (weights [1,0]) must only differ through

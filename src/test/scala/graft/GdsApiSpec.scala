@@ -154,6 +154,130 @@ class GdsApiSpec extends AnyFunSuite with SparkTestBase {
     gds.graph.drop("algos")
   }
 
+  test("estimate mode: per-family state widths within 2x of measured cached sizes") {
+    val gds = graft.api.Gds(spark)
+    val n = 50000L
+    // realistic 100-TB id space: hashed (non-compressible) ids — columnar
+    // cache compression can't flatter the measurement
+    val ids = spark.range(n).select(xxhash64(col("id")).as("id"))
+    val edges = spark.range(4 * n).select(
+      xxhash64(pmod(col("id"), lit(n))).as("src"),
+      xxhash64(pmod(col("id") * 31 + 7, lit(n))).as("dst"))
+    gds.graph.create("est2", ids, edges)
+    def cachedBytesPerRow(df: org.apache.spark.sql.DataFrame): Double = {
+      val p = df.persist()
+      val rows = p.count()
+      val size = p.queryExecution.withCachedData.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          r.computeStats().sizeInBytes.toLong
+      }.sum
+      p.unpersist(blocking = true)
+      size.toDouble / rows
+    }
+    // hash-derived doubles: realistic mid-run state values
+    def hdouble(salt: Int) =
+      (pmod(xxhash64(col("id"), lit(salt)), lit(100000L)) / lit(100000.0))
+    // representative per-row state shapes, as the engines persist them
+    val states: Seq[(String, graft.api.EstimateResult, org.apache.spark.sql.DataFrame)] = Seq(
+      ("pageRank", gds.pageRank.estimate("est2"),
+        ids.select(col("id"), hdouble(1).as("rank"), hdouble(2).as("delta"),
+          (pmod(col("id"), lit(2)) === 0).as("_active"))),
+      ("wcc", gds.wcc.estimate("est2"),
+        ids.select(col("id"), xxhash64(col("id"), lit(3)).as("component"),
+          (pmod(col("id"), lit(2)) === 0).as("_active"))),
+      ("labelPropagation", gds.labelPropagation.estimate("est2"),
+        ids.select(col("id"), xxhash64(col("id"), lit(4)).as("label"),
+          (pmod(col("id"), lit(2)) === 0).as("_active"))),
+      ("triangleCount", gds.triangleCount.estimate("est2"),
+        ids.select(col("id"), pmod(xxhash64(col("id"), lit(5)), lit(1000L)).as("triangles"))),
+      ("fastRP", gds.fastRP.estimate("est2",
+        graft.algo.FastRP.FastRPConfig(embeddingDimension = 32)),
+        ids.select(col("id"), transform(sequence(lit(0), lit(31)),
+          d => pmod(xxhash64(col("id"), d), lit(100000L)) / lit(100000.0)).as("h"))),
+      ("knn", gds.knn.estimate("est2", graft.algo.Knn.KnnConfig(k = 10)),
+        ids.select(col("id"), transform(sequence(lit(0), lit(9)), j =>
+          struct(xxhash64(col("id"), j).as("neighbor_id"),
+            (pmod(xxhash64(col("id"), j, lit(9)), lit(100000L)) / lit(100000.0)).as("similarity")))
+          .as("neighbors"))))
+    states.foreach { case (name, est, state) =>
+      val perRow = est.stateRowBytes.toDouble
+      val meas = cachedBytesPerRow(state)
+      assert(perRow <= meas * 2 && perRow >= meas / 2,
+        f"$name: estimated $perRow%.0f B/row vs measured $meas%.1f B/row — outside 2x")
+      assert(est.bytesMin > 0 && est.bytesMax == est.bytesMin * 3)
+    }
+    // per-family formulas genuinely differ (no vestigial constant)
+    assert(states.map(_._2.stateRowBytes).distinct.size >= 4)
+    gds.graph.drop("est2")
+  }
+
+  test("mode matrix: stats/mutate/write across the formerly stream-only algorithms") {
+    import spark.implicits._
+    val gds = graft.api.Gds(spark)
+    val g = graphOf(6, Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 3L, 3L -> 4L, 4L -> 3L, 4L -> 5L))
+    val verts = g.vertices.withColumn("vec",
+      array(col("id").cast("double"), (col("id") * 2 + 1).cast("double")))
+    gds.graph.create("modes", verts, g.edges)
+    val dir = Files.createTempDirectory("graft-modes").toString
+    try {
+      // stats rows exist and carry the count field
+      assert(gds.scc.stats("modes").getLong(0) > 0)
+      assert(gds.hits.stats("modes")._1.getLong(0) == 6)
+      assert(gds.k1coloring.stats("modes").getLong(0) > 0)
+      assert(gds.degree.stats("modes").getLong(0) == 6)
+      assert(gds.closeness.stats("modes").getLong(0) == 6)
+      assert(gds.closeness.harmonic.stats("modes").getLong(0) == 6)
+      assert(gds.articleRank.stats("modes").getLong(0) == 6)
+      assert(gds.eigenvector.stats("modes").getLong(0) == 6)
+      assert(gds.localClusteringCoefficient.stats("modes")._2.getLong(0) == 6)
+      assert(gds.nodeSimilarity.stats("modes").getLong(0) > 0)
+      assert(gds.knn.stats("modes", "vec",
+        graft.algo.Knn.KnnConfig(k = 2)).getLong(0) > 0)
+      // node-property mutates chain into later reads
+      gds.scc.mutate("modes", "sccId")
+      gds.hits.mutate("modes", "hits")
+      gds.k1coloring.mutate("modes", "color")
+      gds.degree.mutate("modes", "deg")
+      gds.closeness.mutate("modes", "close")
+      gds.closeness.harmonic.mutate("modes", "harm")
+      gds.articleRank.mutate("modes", "article")
+      gds.eigenvector.mutate("modes", "eigen")
+      gds.localClusteringCoefficient.mutate("modes", "lcc")
+      gds.sllpa.mutate("modes", "sllpaIds")
+      val cols = gds.catalog.get("modes").vertices.columns.toSet
+      Seq("sccId", "hitshub", "hitsauth", "color", "deg", "close", "harm",
+        "article", "eigen", "lcc", "sllpaIds").foreach(c =>
+        assert(cols.contains(c), s"missing mutated column $c in $cols"))
+      // relationship mutates: similarity pairs become typed edges the next
+      // algorithm consumes (the reference's composition idiom)
+      gds.nodeSimilarity.mutate("modes", "SIMILAR",
+        graft.algo.NodeSimilarityConfig(topK = 2))
+      gds.knn.mutate("modes", "NEAR", "vec", graft.algo.Knn.KnnConfig(k = 2))
+      val edges = gds.catalog.get("modes").edges
+      val simEdges = edges.filter(col("rel_type") === "SIMILAR")
+      assert(simEdges.count() > 0)
+      assert(edges.filter(col("rel_type") === "NEAR").count() > 0)
+      // chain: degree over ONLY the similarity graph
+      gds.graph.subgraph("modes", "simgraph", edgePredicate = "rel_type = 'SIMILAR'")
+      val simDeg = gds.degree.stream("simgraph")
+      assert(simDeg.agg(sum("score")).first().getDouble(0) == simEdges.count().toDouble)
+      // write mode persists snapshot-committed parquet per algorithm
+      gds.scc.write("modes", s"$dir/scc")
+      gds.hits.write("modes", s"$dir/hits")
+      gds.nodeSimilarity.write("modes", s"$dir/nodesim")
+      gds.knn.write("modes", s"$dir/knn", "vec", graft.algo.Knn.KnnConfig(k = 2))
+      gds.labelPropagation.write("modes", s"$dir/lp")
+      gds.triangleCount.write("modes", s"$dir/tc")
+      gds.fastRP.write("modes", s"$dir/fastrp")
+      for (sub <- Seq("scc", "hits", "nodesim", "knn", "lp", "tc", "fastrp"))
+        assert(graft.io.SnapshotStore.latest(s"$dir/$sub").isDefined,
+          s"no committed snapshot under $dir/$sub")
+    } finally {
+      graft.io.Fs.deleteRecursively(dir)
+      gds.graph.drop("modes"); gds.graph.drop("simgraph")
+    }
+  }
+
   test("alpha similarity / ann / singular property / model.delete facades") {
     import spark.implicits._
     val gds = graft.api.Gds(spark)

@@ -43,6 +43,53 @@ class PregelSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("masterCompute: eigenvector on the public API matches the exact reference fixture") {
+    // The reference's masterCompute contract (PregelComputation.java:98-117)
+    // written purely against the public surface: per-superstep L2 norm as a
+    // withMasterCompute aggregate, referenced from the message expression.
+    // Power iteration on (A + I): the identity term is an explicit self-loop
+    // edge, so next_k(v) = next_{k-1}(v)/L + Σ_{u→v} next_{k-1}(u) with
+    // L = master("l2") — the EigenvectorComputation.java recurrence exactly
+    // (Eigenvector.scala derivation); final normalization applied on the
+    // returned state.
+    val Seq(a1, b1, c1, d1, e1, f1) = (0L to 5L)
+    val edges = Seq((b1, c1), (c1, b1), (d1, a1), (d1, b1), (e1, b1),
+      (e1, d1), (e1, f1), (f1, b1), (f1, e1))
+    val n = 10
+    val spark0 = spark; import spark0.implicits._
+    val edgeDf = (edges.map { case (s, d) => (s, d, 0) } ++
+      (0L until n).map(i => (i, i, 1))).toDF("src", "dst", "self")
+    val verts = spark.range(n).select(col("id"))
+    val g = graft.core.PropertyGraph(verts, edgeDf)
+    val iterations = 40
+    val state = Pregel(g)
+      .withVertexColumn("next", init = lit(1.0 / n), afterMsg = Pregel.msg)
+      .withMasterCompute("l2", sqrt(sum(col("next") * col("next"))))
+      .sendMsgToDst(when(Pregel.edge("self") === 1,
+          Pregel.src("next") / Pregel.master("l2"))
+        .otherwise(Pregel.src("next")))
+      .aggMsgs(sum(Pregel.msg))
+      .setMaxIterations(iterations - 1) // init state is superstep 0's result
+      .setFusedSteps(4)
+      .run()
+    val raw = state.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val l2 = math.sqrt(raw.values.map(v => v * v).sum)
+    val got = raw.map { case (id, v) => id -> v / l2 }
+    // the EigenvectorSpec unweighted fixture (PageRankTest.java:440-530),
+    // restricted to the 6 connected nodes (isolated nodes score 0)
+    val expected = Map(a1 -> 0.01262, b1 -> 0.71623, c1 -> 0.69740,
+      d1 -> 0.01262, e1 -> 0.01262, f1 -> 0.01262,
+      6L -> 0.0, 7L -> 0.0, 8L -> 0.0, 9L -> 0.0)
+    assertRanks(got, expected, 1e-5)
+    // and the in-engine Eigenvector agrees per-vertex
+    val engine = collectMap(graft.algo.Eigenvector.run(
+      graphOf(n, edges),
+      graft.algo.PageRankConfig(tolerance = 0.0, maxIterations = iterations)).scores,
+      "id", "score")
+    got.foreach { case (id, v) => assert(math.abs(v - engine(id)) < 1e-9,
+      s"node $id public=$v engine=${engine(id)}") }
+  }
+
   test("vote-to-halt terminates before maxIterations; haltIf halts early") {
     // max-id propagation over a 5-path: converges in 4 supersteps, then all
     // vertices stop receiving changed values... every superstep re-sends, so
