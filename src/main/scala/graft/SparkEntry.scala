@@ -2040,7 +2040,7 @@ object SparkEntry {
          |       FROM bi JOIN cb USING (w1, w2) JOIN ch USING (w1), v),
          |agg AS (SELECT id, count(*) AS bigrams, sum(lp) / count(*) AS m FROM lp GROUP BY id)
          |SELECT id AS doc_id, bigrams,
-         |  ${graft.core.Num.roundSql("m", 6)} AS logprob_per_token,
+         |  ${graft.core.Num.roundSql("m", 6)} AS logprob_per_bigram,
          |  ${graft.core.Num.roundSql("exp(-m)", 4)} AS perplexity
          |FROM agg ORDER BY doc_id""".stripMargin,
     "q_sample" ->

@@ -190,7 +190,8 @@ object TextOps {
     * because the model side is one row per key; nothing is ever broadcast
     * or collected except the scalar vocabulary size.
     *
-    * Returns (id, bigrams, logprob_per_token, perplexity); documents with
+    * Returns (id, bigrams, logprob_per_bigram, perplexity) — the mean is
+    * per BIGRAM (bigrams = tokens - 1), named accordingly; documents with
     * fewer than two tokens are excluded (no bigram evidence), and the
     * smoothing vocabulary counts the tokens of the scoreable documents. */
   def bigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
@@ -214,7 +215,7 @@ object TextOps {
         log((col("cb") + lit(k)) / (col("ch") + lit(k * vocab))).as("lp"))
     lp.groupBy("id").agg(count(lit(1)).as("bigrams"), sum("lp").as("slp"))
       .select(col("id"), col("bigrams"),
-        graft.core.Num.roundTo(col("slp") / col("bigrams"), 6).as("logprob_per_token"),
+        graft.core.Num.roundTo(col("slp") / col("bigrams"), 6).as("logprob_per_bigram"),
         graft.core.Num.roundTo(exp(-col("slp") / col("bigrams")), 4).as("perplexity"))
   }
 
@@ -233,7 +234,10 @@ object TextOps {
   def hashedNgramFeatures(docs: org.apache.spark.sql.DataFrame, idCol: String,
                           textCol: String, dims: Int = 64,
                           bigrams: Boolean = true): org.apache.spark.sql.DataFrame = {
-    val toks = split(normalize(col(textCol)), " ")
+    // split on an empty/whitespace-only doc yields [""] — filter it so empty
+    // docs produce NO feature row (no n-gram evidence) instead of a phantom
+    // empty-string unigram with L1 weight 1.0 entering classifier training
+    val toks = filter(split(normalize(col(textCol)), " "), t => t =!= "")
     val unis = transform(toks, t => pmod(xxhash64(lit(1), t), lit(dims)))
     val bis  = zip_with(
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),

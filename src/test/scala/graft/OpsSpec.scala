@@ -349,6 +349,20 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(f.forall(r0 => math.abs(r0.getDouble(0) - 1.0) < 1e-9))
   }
 
+  test("hashed-ngram features: empty/whitespace docs yield no feature row, not a phantom gram") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta"), (2L, ""), (3L, "   \t  "), (4L, "solo")
+    ).toDF("doc_id", "text")
+    val f = TextOps.hashedNgramFeatures(df, "doc_id", "text", 16)
+    // docs 2 and 3 carry zero n-gram evidence -> excluded entirely (a
+    // phantom ""-unigram bucket would otherwise enter classifier training)
+    assert(f.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 4L))
+    // surviving docs' features are unaffected by the empty-token filter
+    val sums = f.select(aggregate(col("features"), lit(0.0), (a, v) => a + v)).collect()
+    assert(sums.forall(r0 => math.abs(r0.getDouble(0) - 1.0) < 1e-9))
+  }
+
   test("deterministic sampling: reproducible, fraction-accurate, stratified") {
     import spark.implicits._
     import graft.ops.Sampling
