@@ -30,4 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // deep Catalyst trees (fused supersteps + checkpoint reads) recurse past
+  // the JVM default main-thread stack during analysis
+  "-Xss64m",
 )
