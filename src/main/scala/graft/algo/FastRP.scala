@@ -86,7 +86,8 @@ object FastRP {
   /** (id, embedding: array<double>) for every vertex. */
   def run(graph: PropertyGraph, cfg: FastRPConfig = FastRPConfig()): DataFrame = {
     val spark = graph.edges.sparkSession
-    val parts = GraphOps.adaptiveParts(spark, graph.edges.count())
+    val edgeCount = graph.edges.count()
+    val parts = GraphOps.adaptiveParts(spark, edgeCount)
     val d = cfg.embeddingDimension
     val p = cfg.effectivePropertyDimension
     require(p >= 0 && p < d,
@@ -138,6 +139,15 @@ object FastRP {
     var acc: DataFrame = vertices.select(col("id"),
       transform(dims, _ => lit(0.0)).as("emb"))
 
+    // Small graphs: chain the rounds LAZILY (one action total, Spark's
+    // exchange reuse dedupes the shared state subplans) — per-round
+    // persist + count is 2 driver-synced jobs per round of fixed latency
+    // that dominates wall time on sub-threshold inputs (the LP pipeline's
+    // FastRP step measured 8.3 s on a 600-edge graph, almost all of it
+    // round-boundary overhead). At scale the per-round materialization
+    // stays: it bounds plan depth and recompute across the L rounds.
+    val fuseRounds = edgeCount <= 100000L
+
     cfg.iterationWeights.foreach { w =>
       // one round: h'(v) = L2norm( Σ_{u->v} weight·h(u) / indeg(v) )
       val msgs = state.join(edges, col("id") === col("src"))
@@ -152,19 +162,20 @@ object FastRP {
         .select(col("id"), when(col("hsum").isNull, transform(dims, _ => lit(0.0)))
           .otherwise(l2normalize(transform(col("hsum"), v => v / col("indeg"))))
           .as("h"))
-        .persist()
       val prevState = state
       val prevAcc = acc
-      state = next
+      state = if (fuseRounds) next else next.persist()
       acc = acc.join(state, "id")
         .select(col("id"), zip_with(col("emb"), col("h"),
           (a, b) => a + lit(w) * b).as("emb"))
-        .persist()
-      // one cache-populating job per round: evaluating acc fills BOTH the
-      // acc cache and (via the join) the new state's cache
-      acc.count()
-      prevState.unpersist(false)
-      prevAcc.unpersist(false)
+      if (!fuseRounds) {
+        acc = acc.persist()
+        // one cache-populating job per round: evaluating acc fills BOTH the
+        // acc cache and (via the join) the new state's cache
+        acc.count()
+        prevState.unpersist(false)
+        prevAcc.unpersist(false)
+      }
     }
     val out = acc.select(col("id"), col("emb").as("embedding"))
     vertices.unpersist(false)
