@@ -116,10 +116,13 @@ final class Pregel private (graph: PropertyGraph) {
     * message join needs that endpoint's state at all — referencing only the
     * sender keeps a superstep at ONE state-edges join. */
   private def references(exprs: Seq[Column], side: String): Boolean =
-    // `_pregel_src`/`_pregel_dst` are reserved namespaces only mintable via
-    // Pregel.src/dst, so scanning the column's pretty form is exact; Spark 4
-    // columns are lazy ColumnNode trees (no public Catalyst traversal before
-    // analysis), which rules out a structural walk here.
+    // `_pregel_src.`/`_pregel_dst.` (dot included — a user literal named
+    // e.g. `_pregel_dst_x` must not match) and the `_pregel_master_` prefix
+    // are reserved namespaces only mintable via Pregel.src/dst/master, so
+    // scanning the column's pretty form is exact; Spark 4 columns are lazy
+    // ColumnNode trees (no public Catalyst traversal before analysis),
+    // which rules out a structural walk here. A false positive merely adds
+    // a join; a false negative is impossible for minted columns.
     exprs.exists(_.toString.contains(side))
 
   def run(): DataFrame = {
@@ -172,7 +175,7 @@ final class Pregel private (graph: PropertyGraph) {
             col(senderSide) === col(s"__${senderSide}_id"))
           // the non-sender endpoint's state joins in only if referenced —
           // sender-only messages keep a superstep at ONE state-edges join
-          if (references(msgs, s"_pregel_$otherSide"))
+          if (references(msgs, s"_pregel_$otherSide."))
             t = t.join(endpoint(otherSide, activeOnly = false),
               col(otherSide) === col(s"__${otherSide}_id"))
           // master values join into the message frame only if referenced
