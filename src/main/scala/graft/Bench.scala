@@ -113,12 +113,19 @@ object Bench {
               .getOrElse(Nil)
             val repEffJson = if (repEffs.isEmpty) "" else
               s""","per_rep_efficiency":[${repEffs.map("%.3f".format(_)).mkString(",")}]"""
+            // same-WINDOW hardware ceiling (the in-process block's ceiling
+            // was measured many minutes earlier; co-tenant load moves):
+            // a loaded-box cluster reading then self-documents its context
+            val cbwLow  = graft.tools.MemBwProbe.run(eLow, 200000000L)
+            val cbwHigh = graft.tools.MemBwProbe.run(eHigh, 200000000L)
+            val cbwEff  = (cbwLow / cbwHigh) / (eHigh.toDouble / eLow)
             s""","pagerank_scaling_cluster":{"pages":$nPages,"edges":${lo.edges},""" +
               s""""supersteps":8,"executors_low":$eLow,"secs_low":${"%.3f".format(lo.secs)},""" +
               s""""eps_low":${"%.0f".format(lo.edgesPerSecPerSuperstep)},""" +
               s""""executors_high":$eHigh,"secs_high":${"%.3f".format(hi.secs)},""" +
               s""""eps_high":${"%.0f".format(hi.edgesPerSecPerSuperstep)},""" +
-              s""""scaling_efficiency":${"%.3f".format(eff)}$repEffJson}"""
+              s""""scaling_efficiency":${"%.3f".format(eff)}$repEffJson,""" +
+              s""""hw_ceiling_same_window_${eLow}_$eHigh":${"%.3f".format(cbwEff)}}"""
           }
         } catch { case _: Throwable => "" }
       } else ""
