@@ -176,6 +176,31 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     } finally rm(d)
   }
 
+  test("readStream also streams from the FileSystem (no binaryFile content rows)") {
+    val d = tmp()
+    try {
+      val p = pages(40L)
+      Warc.write(p, d, compress = false)
+      // as in the batch test: binaryFile's maxLength cap only fires when the
+      // CONTENT column is read — a cap far below the file size proves the
+      // STREAMING path also moves bytes through our Hadoop stream, not rows
+      val key = "spark.sql.sources.binaryFile.maxLength"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "64")
+      try {
+        val q = Warc.readStream(spark, d)
+          .writeStream.outputMode("append").format("memory")
+          .queryName("warcprune").start()
+        q.processAllAvailable()
+        q.stop()
+        assert(spark.sql("SELECT count(*) FROM warcprune").first().getLong(0) === 40L)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    } finally rm(d)
+  }
+
   test("header field names are case-insensitive (third-party WARC casing)") {
     val d = tmp()
     try {
