@@ -11,6 +11,33 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
+  /** `.estimate`-mode analogue for the ANN family: vector-table and
+    * bucketed-index cardinalities from the config, exact integer
+    * arithmetic (companion to `graft.api.Gds.estimate` and
+    * [[Dedup.estimateMinHash]]). `bytesMax` = 3x headroom. */
+  final case class AnnEstimate(vectors: Long, dim: Int, vectorBytes: Long,
+                               indexRows: Long, indexBytes: Long,
+                               bytesMin: Long, bytesMax: Long)
+
+  /** Hyperplane LSH: corpus vectors re-keyed once per table — the bucketed
+    * index carries (table, bucket, id, vector) because candidate scoring
+    * reads the vector in place (no second corpus join). */
+  def estimateLsh(vectors: Long, dim: Int, planes: Int = 12,
+                  tables: Int = 4): AnnEstimate = {
+    val vec = vectors * (8L + 8L * dim)
+    val idxRows = vectors * tables
+    val idx = idxRows * (16L + 8L + 8L * dim) // table+bucket, id, vector
+    AnnEstimate(vectors, dim, vec, idxRows, idx, vec + idx, (vec + idx) * 3)
+  }
+
+  /** IVF: one cell assignment per vector (the index IS the corpus keyed by
+    * cell) plus the broadcast centroid table. */
+  def estimateIvf(vectors: Long, dim: Int, cells: Int): AnnEstimate = {
+    val vec = vectors * (8L + 8L * dim)
+    val idx = vectors * (8L + 8L + 8L * dim) + cells * 8L * dim
+    AnnEstimate(vectors, dim, vec, vectors, idx, vec + idx, (vec + idx) * 3)
+  }
+
   /** Cosine similarity between two array<float/double> columns, computed in
     * double precision. 0.0 when either norm is 0 (instead of NaN/err).
     * One codegen'd pass per pair (graft.functions.VecCosine) — the

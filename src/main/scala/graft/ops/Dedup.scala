@@ -11,6 +11,34 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
+  /** `.estimate`-mode analogue for the dedup family (the graph algorithms'
+    * per-family size model lives in `graft.api.Gds.estimate`): signature
+    * and band-bucket cardinalities from the config, exact integer
+    * arithmetic. `bytesMax` = 3x headroom, as in the Gds model. */
+  final case class DedupEstimate(docs: Long, signatureBytes: Long,
+                                 indexRows: Long, indexBytes: Long,
+                                 bytesMin: Long, bytesMax: Long)
+
+  /** MinHash-LSH: one 8 B hash per (doc, hash fn) for the signatures; one
+    * (band, bucket, id) row per (doc, band) for the banded index — the ONLY
+    * shuffled state (candidates are per-bucket pairs downstream). */
+  def estimateMinHash(docs: Long, numHashes: Int = 32,
+                      bands: Int = 16): DedupEstimate = {
+    val sig = docs * numHashes * 8L
+    val idxRows = docs * bands
+    val idx = idxRows * 24L // band int + bucket hash + doc id
+    DedupEstimate(docs, sig, idxRows, idx, sig + idx, (sig + idx) * 3)
+  }
+
+  /** SimHash: one 64-bit signature per doc; one (band, bits, id) row per
+    * (doc, band) for the pigeonhole-banded index. */
+  def estimateSimHash(docs: Long, bands: Int = 4): DedupEstimate = {
+    val sig = docs * 8L
+    val idxRows = docs * bands
+    val idx = idxRows * 24L
+    DedupEstimate(docs, sig, idxRows, idx, sig + idx, (sig + idx) * 3)
+  }
+
   /** Exact duplicates on normalized text: every doc mapped to the smallest
     * doc id sharing its fingerprint. One groupBy on the md5 fingerprint —
     * map-side combine keeps hot fingerprints cheap. */

@@ -363,6 +363,47 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sums.forall(r0 => math.abs(r0.getDouble(0) - 1.0) < 1e-9))
   }
 
+  test("dedup/ANN estimate models within 2x of measured cached index shapes") {
+    val n = 50000L
+    val ids = spark.range(n).select(xxhash64(col("id")).as("id"))
+    def cachedBytesPerRow(df: org.apache.spark.sql.DataFrame): Double = {
+      val p = df.persist(); val rows = p.count()
+      val size = p.queryExecution.withCachedData.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          r.computeStats().sizeInBytes.toLong
+      }.sum
+      p.unpersist(blocking = true)
+      size.toDouble / rows
+    }
+    def within2x(est: Double, meas: Double, tag: String): Unit =
+      assert(est <= meas * 2 && est >= meas / 2,
+        f"$tag: estimated $est%.0f B/row vs measured $meas%.1f B/row")
+    // minhash signatures: (id, 32 hash longs) per doc
+    val mh = graft.ops.Dedup.estimateMinHash(n, numHashes = 32, bands = 16)
+    val sigFrame = ids.select(col("id"), transform(sequence(lit(0), lit(31)),
+      h => xxhash64(col("id"), h)).as("sig"))
+    within2x(mh.signatureBytes.toDouble / n, cachedBytesPerRow(sigFrame), "minhash sig")
+    // banded index: one (band, bucket, id) row per (doc, band)
+    val bandFrame = ids.select(col("id"), explode(sequence(lit(0), lit(15))).as("band"))
+      .select(col("band").cast("int"), xxhash64(col("id"), col("band")).as("bucket"), col("id"))
+    within2x(mh.indexBytes.toDouble / mh.indexRows, cachedBytesPerRow(bandFrame), "minhash band")
+    assert(mh.indexRows === n * 16)
+    // simhash: one 64-bit signature, 4 band rows
+    val sh = graft.ops.Dedup.estimateSimHash(n)
+    assert(sh.signatureBytes === n * 8 && sh.indexRows === n * 4)
+    // LSH index rows carry (table, bucket, id, vector[dim])
+    val dim = 32
+    val lsh = graft.ops.Ann.estimateLsh(n, dim, planes = 12, tables = 4)
+    val lshFrame = ids.select(lit(0).cast("int").as("table"),
+      xxhash64(col("id")).as("bucket"), col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        d => pmod(xxhash64(col("id"), d), lit(100000L)) / lit(100000.0)).as("vec"))
+    within2x(lsh.indexBytes.toDouble / lsh.indexRows, cachedBytesPerRow(lshFrame), "lsh index")
+    assert(lsh.indexRows === n * 4)
+    val ivf = graft.ops.Ann.estimateIvf(n, dim, cells = 64)
+    assert(ivf.bytesMax === ivf.bytesMin * 3 && ivf.bytesMin > 0)
+  }
+
   test("deterministic sampling: reproducible, fraction-accurate, stratified") {
     import spark.implicits._
     import graft.ops.Sampling
