@@ -1770,9 +1770,20 @@ object SparkEntry {
         gds.labelPropagation.estimate("est_g"),
         gds.triangleCount.estimate("est_g"),
         gds.fastRP.estimate("est_g"), gds.knn.estimate("est_g"))
+      // dedup/ANN family companions (Dedup/Ann estimate models): counts
+      // data-derived, widths pure config arithmetic
+      val nDocs = table(s, dir, "documents").count()
+      val nVecs = table(s, dir, "embeddings").count()
+      val mh  = graft.ops.Dedup.estimateMinHash(nDocs)
+      val lsh = graft.ops.Ann.estimateLsh(nVecs, dim = 64)
       val spark = s; import spark.implicits._
-      ests.map(e => (e.algorithm, e.nodeCount, e.relationshipCount,
-          e.stateRowBytes, e.stateBytes, e.msgBytes, e.bytesMin, e.bytesMax))
+      (ests.map(e => (e.algorithm, e.nodeCount, e.relationshipCount,
+          e.stateRowBytes, e.stateBytes, e.msgBytes, e.bytesMin, e.bytesMax)) ++
+        Seq(
+          ("minhashLsh", mh.docs, 0L, mh.signatureBytes / mh.docs,
+            mh.signatureBytes, mh.indexBytes, mh.bytesMin, mh.bytesMax),
+          ("annLsh", lsh.vectors, 0L, lsh.vectorBytes / lsh.vectors,
+            lsh.vectorBytes, lsh.indexBytes, lsh.bytesMin, lsh.bytesMax)))
         .toDF("algorithm", "node_count", "relationship_count",
           "state_row_bytes", "state_bytes", "msg_bytes", "bytes_min", "bytes_max")
         .orderBy("algorithm")
@@ -2622,7 +2633,11 @@ object SparkEntry {
        |  UNION ALL SELECT 'labelPropagation', 24, n * 24, e * 16, n, e FROM m
        |  UNION ALL SELECT 'triangleCount', 16, n * 16, e * (e // n) * 24, n, e FROM m
        |  UNION ALL SELECT 'fastRP', 8 + 8 * 64, n * (8 + 8 * 64) * 2, e * 64 * 24, n, e FROM m
-       |  UNION ALL SELECT 'knn', 8 + 24 * 10, n * (8 + 24 * 10) * 2, n * 4 * 10 * 10 * 24, n, e FROM m)
+       |  UNION ALL SELECT 'knn', 8 + 24 * 10, n * (8 + 24 * 10) * 2, n * 4 * 10 * 10 * 24, n, e FROM m
+       |  UNION ALL SELECT 'minhashLsh', 256, d * 256, d * 16 * 24, d, CAST(0 AS BIGINT)
+       |            FROM (SELECT count(*) AS d FROM documents)
+       |  UNION ALL SELECT 'annLsh', 520, v * 520, v * 4 * (16 + 8 + 8 * 64), v, CAST(0 AS BIGINT)
+       |            FROM (SELECT count(*) AS v FROM embeddings))
        |SELECT algorithm, n AS node_count, e AS relationship_count,
        |  srb AS state_row_bytes, sb AS state_bytes, mb AS msg_bytes,
        |  sb + mb AS bytes_min, (sb + mb) * 3 AS bytes_max
