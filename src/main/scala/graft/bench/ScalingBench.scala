@@ -101,7 +101,10 @@ object ScalingBench {
           // cluster's per-node cgroup would.
           .config("spark.executor.extraJavaOptions",
             sys.env.getOrElse("GRAFT_BENCH_EXEC_OPTS",
-              s"-XX:ActiveProcessorCount=$workerCores"))
+              s"-XX:ActiveProcessorCount=$workerCores") +
+              // executor JVMs must not flood the driver-captured output
+              // window with startup INFO logs (see bench.Quiet)
+              s" -Dlog4j2.configurationFile=file:${Quiet.executorConfigFile}")
         if (cp.endsWith(".jar")) b.config("spark.jars", cp)
         else b.config("spark.executor.extraClassPath", cp)
       case _ => builder
@@ -186,14 +189,27 @@ object ScalingBench {
     * graph build and warm-up excluded from timing as always. */
   def pageRankInterleaved(coresList: Seq[Int], nPages: Long, supersteps: Int,
                           density: Double = 8.0,
-                          reps: Int = 3): Map[Int, RunStats] = {
+                          reps: Int = 3,
+                          deadlineNanos: Long = Long.MaxValue): Map[Int, RunStats] = {
     var edges = 0L
     val all = scala.collection.mutable.Map.empty[Int, List[Double]]
-    for (rep <- 1 to reps; c <- coresList) {
-      val (secs, e) = oneTimedRun(c, nPages, supersteps, density)
-      edges = e
-      System.err.println(f"[scaling] cores=$c rep=$rep secs=$secs%.2f")
-      all(c) = all.getOrElse(c, Nil) :+ secs
+    var pairCost = 0L // measured wall cost of one full rep round, for budgeting
+    for (rep <- 1 to reps) {
+      // budget check BETWEEN rounds (never mid-round: a partial round would
+      // bias one leg of the ratio): skip remaining rounds when the last
+      // round's measured cost no longer fits before the deadline. Degrades
+      // to "fewer reps, per-rep arrays still emitted" instead of a killed
+      // process with no artifact (BENCH_r04 failure mode).
+      if (rep == 1 || System.nanoTime() + pairCost <= deadlineNanos) {
+        val t0 = System.nanoTime()
+        for (c <- coresList) {
+          val (secs, e) = oneTimedRun(c, nPages, supersteps, density)
+          edges = e
+          System.err.println(f"[scaling] cores=$c rep=$rep secs=$secs%.2f")
+          all(c) = all.getOrElse(c, Nil) :+ secs
+        }
+        pairCost = System.nanoTime() - t0
+      } else System.err.println(s"[scaling] rep=$rep skipped (deadline)")
     }
     lastRepTimes = all.toMap
     coresList.map(c => c -> RunStats(c, all(c).min, edges, supersteps)).toMap
@@ -215,38 +231,32 @@ object ScalingBench {
   def pageRankClusterInterleaved(executorsList: Seq[Int], nPages: Long,
                                  supersteps: Int,
                                  density: Double = 8.0,
-                                 reps: Int = 3): Map[Int, RunStats] = {
+                                 reps: Int = 3,
+                                 deadlineNanos: Long = Long.MaxValue): Map[Int, RunStats] = {
     if (executorClasses.isEmpty) return Map.empty
     var edges = 0L
     val all = scala.collection.mutable.Map.empty[Int, List[Double]]
-    def onePair(rep: Int): Unit =
-      for (n <- executorsList) {
-        val (secs, e) = oneTimedRun(n, nPages, supersteps, density,
-          forceCluster = true, forceWorkerCores = 1)
-        edges = e
-        System.err.println(f"[scaling-cluster] executors=$n rep=$rep secs=$secs%.2f")
-        all(n) = all.getOrElse(n, Nil) :+ secs
-      }
-    for (rep <- 1 to reps) onePair(rep)
-    // Load-robustness: co-tenant load hits the two legs ASYMMETRICALLY —
-    // the high leg needs `executors_high` clean cores at once, the low leg
-    // only one, so a busy box biases the ratio DOWN only (measured: a
-    // loaded day inflated the 4-exec leg 38% but the 1-exec leg 4%). The
-    // estimator stays min-of-N; when the ratio from the planned reps sits
-    // below the margin, up to GRAFT_BENCH_CLUSTER_EXTRA (default 3) extra
-    // interleaved pairs give min a chance to land on a quiet window. All
-    // per-rep times are emitted in the bench JSON either way.
-    if (executorsList.size == 2) {
-      val Seq(lo, hi) = executorsList
-      def eff = (all(lo).min / all(hi).min) / (hi.toDouble / lo)
-      val margin = sys.env.getOrElse("GRAFT_BENCH_CLUSTER_MARGIN", "0.85").toDouble
-      val extraMax = sys.env.getOrElse("GRAFT_BENCH_CLUSTER_EXTRA", "3").toInt
-      var extra = 0
-      while (extra < extraMax && eff < margin) {
-        extra += 1
-        System.err.println(f"[scaling-cluster] eff=$eff%.3f < $margin%.2f — extra rep $extra/$extraMax")
-        onePair(reps + extra)
-      }
+    // FIXED-rep protocol (round-4 review): the earlier variance-triggered
+    // extension (extra pairs only while min-of-N efficiency sat under a
+    // margin) was a one-sided optional-stopping rule that biased the gate
+    // metric upward AND — on a busy window — blew the driver's wall budget
+    // (BENCH_r04 rc:124). Now: exactly `reps` interleaved pairs, the gate
+    // reported from the full fixed set, per-rep arrays emitted for context;
+    // the only truncation is the hard deadline, which drops whole pairs from
+    // the END (never one leg of a pair) and is reported as fewer reps.
+    var pairCost = 0L
+    for (rep <- 1 to reps) {
+      if (rep == 1 || System.nanoTime() + pairCost <= deadlineNanos) {
+        val t0 = System.nanoTime()
+        for (n <- executorsList) {
+          val (secs, e) = oneTimedRun(n, nPages, supersteps, density,
+            forceCluster = true, forceWorkerCores = 1)
+          edges = e
+          System.err.println(f"[scaling-cluster] executors=$n rep=$rep secs=$secs%.2f")
+          all(n) = all.getOrElse(n, Nil) :+ secs
+        }
+        pairCost = System.nanoTime() - t0
+      } else System.err.println(s"[scaling-cluster] rep=$rep skipped (deadline)")
     }
     lastRepTimes = all.toMap
     executorsList.map(n => n -> RunStats(n, all(n).min, edges, supersteps)).toMap
