@@ -1005,8 +1005,15 @@ object SparkEntry {
       val baseDead = z.filter(!exists(
         slice(col("embedding"), 1, 24), v => v =!= 0.0)).count()
       val unstable = digest(a).join(digest(b), Seq("id", "sq", "e0"), "left_anti").count()
-      // all-zero vs real features must change (almost) every embedding
-      val featInsensitive = digest(a).join(digest(z), Seq("id", "sq", "e0"), "semi").count()
+      // all-zero vs real features must change every embedding (full-array
+      // compare: with reference-parity unnormalized init vectors, a single
+      // base DIM can legitimately be 0 in both runs, so a dim-0-only digest
+      // under-discriminates)
+      val emb6 = (df: org.apache.spark.sql.DataFrame) => df.select(col("id"),
+        transform(col("embedding"), v => graft.core.Num.roundTo(v, 6)).as("emb"))
+      val featInsensitive = emb6(a)
+        .join(emb6(z).withColumnRenamed("emb", "embz"), "id")
+        .filter(col("emb") === col("embz")).count()
       val spark = s; import spark.implicits._
       Seq((nodes, badDims, nonFinite, badNorm, trailingLeak, baseDead,
         unstable, featInsensitive))
@@ -1242,6 +1249,22 @@ object SparkEntry {
         sum(when(col("width").between(1, 1920) && col("height").between(1, 1080)
           && col("channels") === 3, 0).otherwise(1)).as("bad_dims"),
         sum(when(size(col("embedding")) === 64, 0).otherwise(1)).as("bad_embeddings"))
+    }),
+    "q_media_decode" -> ((s, dir) => {
+      // REAL image codec end-to-end (javax.imageio, no stub): solid-color
+      // PNGs with SQL-replayable construction arithmetic are encoded on
+      // executors, then DECODED back — width/height/band-count and exact
+      // per-channel means must equal the construction numbers. The oracle
+      // can't parse PNG; it replays the arithmetic, so any decode defect
+      // (wrong dims, channel order, color management) breaks the match.
+      val ids = table(s, dir, "customer").filter(col("c_custkey") < 200)
+        .select(col("c_custkey").as("id"))
+      Multimodal.imageStats(Multimodal.synthPngs(ids))
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          graft.core.Num.roundTo(col("mean_r"), 6).as("mean_r"),
+          graft.core.Num.roundTo(col("mean_g"), 6).as("mean_g"),
+          graft.core.Num.roundTo(col("mean_b"), 6).as("mean_b"))
+        .orderBy("media_id")
     }),
     "q_generate" -> ((s, _) => {
       // validity projection of gds.beta.graph.generate (the draws are
@@ -1769,7 +1792,10 @@ object SparkEntry {
         gds.pageRank.estimate("est_g"), gds.wcc.estimate("est_g"),
         gds.labelPropagation.estimate("est_g"),
         gds.triangleCount.estimate("est_g"),
-        gds.fastRP.estimate("est_g"), gds.knn.estimate("est_g"))
+        gds.fastRP.estimate("est_g"), gds.knn.estimate("est_g"),
+        gds.betweenness.estimate("est_g"), gds.louvain.estimate("est_g"),
+        gds.nodeSimilarity.estimate("est_g"),
+        gds.spanningTree.estimate("est_g"))
       // dedup/ANN family companions (Dedup/Ann estimate models): counts
       // data-derived, widths pure config arithmetic
       val nDocs = table(s, dir, "documents").count()
@@ -1802,6 +1828,25 @@ object SparkEntry {
     "q_yens_dist" -> ((s, dir) => yensQuery(s, dir, localSolve = -1L)),
     "q_scc_dist" -> ((s, dir) => sccQuery(s, dir, localSolve = -1L)),
     "q_louvain_l1_dist" -> ((s, dir) => louvainL1Query(s, dir, tail = -1L)),
+    "q_louvain_dist" -> ((s, dir) => {
+      // forced-distributed MULTI-level run (localTailThreshold = -1): the
+      // coarsening loop that executes at 100-TB scale gets its own oracle
+      // row — q_louvain's invariants plus exact per-node label parity with
+      // the locally-solved twin (the property LouvainSpec asserts at
+      // fixture scale, here verified at driver scale on real data).
+      val g = denseGraph(s, dir)
+      val rd = Louvain.run(g, LouvainConfig(localTailThreshold = -1L))
+      val rl = Louvain.run(g, LouvainConfig(localTailThreshold = Long.MaxValue))
+      val n = g.vertices.count()
+      val assigned = rd.communities.count()
+      val singletonQ = Louvain.singletonModularity(g)
+      val diffs = rd.communities.withColumnRenamed("communityId", "cd")
+        .join(rl.communities.withColumnRenamed("communityId", "cl"), "id")
+        .filter(col("cd") =!= col("cl")).count()
+      val spark = s; import spark.implicits._
+      Seq((assigned == n, rd.modularity > singletonQ, diffs == 0L))
+        .toDF("partition_complete", "improves_singletons", "matches_local")
+    }),
     "q_betweenness_dist" -> ((s, dir) => betweennessQuery(s, dir, tail = -1L)),
     "q_closeness_dist" -> ((s, dir) => closenessQuery(s, dir, tail = -1L)),
     "q_knn_dist" -> ((s, dir) => knnQuery(s, dir, tail = -1L))
@@ -2130,6 +2175,8 @@ object SparkEntry {
     "q_hits" -> hitsSql(DenseEdgesSql, iterations = 3),
     "q_louvain_l1" -> louvainL1Sql(DenseEdgesSql),
     "q_louvain" -> "SELECT true AS partition_complete, true AS improves_singletons",
+    "q_louvain_dist" -> ("SELECT true AS partition_complete, " +
+      "true AS improves_singletons, true AS matches_local"),
     "q_minhash_neardup" -> neardupJaccardSql(threshold = 0.8),
     "q_minhash_stream" -> neardupJaccardSql(threshold = 0.8),
     "q_quantize" ->
@@ -2242,6 +2289,18 @@ object SparkEntry {
     "q_media_valid" ->
       """SELECT CAST(200 AS BIGINT) AS rows_total, CAST(0 AS BIGINT) AS bad_dims,
         |CAST(0 AS BIGINT) AS bad_embeddings""".stripMargin,
+    // Real-codec decode check: the Spark side DECODES actual PNG bytes; the
+    // oracle replays the known construction arithmetic of the solid-color
+    // images (see Multimodal.synthPngs).
+    "q_media_decode" ->
+      """SELECT c_custkey AS media_id,
+        |  CAST(16 + c_custkey % 32 AS INT) AS width,
+        |  CAST(8 + c_custkey % 16 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  CAST(c_custkey * 37 % 256 AS DOUBLE) AS mean_r,
+        |  CAST(c_custkey * 59 % 256 AS DOUBLE) AS mean_g,
+        |  CAST(c_custkey * 83 % 256 AS DOUBLE) AS mean_b
+        |FROM customer WHERE c_custkey < 200 ORDER BY media_id""".stripMargin,
     // Independent replay of the stub codec: payload = ASCII hex of
     // sha256("media<id>"), seed = first 6 bytes big-endian (every term
     // < 2^48, so double/ BIGINT arithmetic is exact), dims = seed mod
@@ -2634,6 +2693,10 @@ object SparkEntry {
        |  UNION ALL SELECT 'triangleCount', 16, n * 16, e * (e // n) * 24, n, e FROM m
        |  UNION ALL SELECT 'fastRP', 8 + 8 * 64, n * (8 + 8 * 64) * 2, e * 64 * 24, n, e FROM m
        |  UNION ALL SELECT 'knn', 8 + 24 * 10, n * (8 + 24 * 10) * 2, n * 4 * 10 * 10 * 24, n, e FROM m
+       |  UNION ALL SELECT 'betweenness', 28, n * 28 * n, n * e * 24, n, e FROM m
+       |  UNION ALL SELECT 'louvain', 16, n * 16 * 2, e * 48, n, e FROM m
+       |  UNION ALL SELECT 'nodeSimilarity', 24, n * 24 * 10, e * (e // n) * 24, n, e FROM m
+       |  UNION ALL SELECT 'spanningTree', 32, n * 32, e * 24, n, e FROM m
        |  UNION ALL SELECT 'minhashLsh', 256, d * 256, d * 16 * 24, d, CAST(0 AS BIGINT)
        |            FROM (SELECT count(*) AS d FROM documents)
        |  UNION ALL SELECT 'annLsh', 520, v * 520, v * 4 * (16 + 8 + 8 * 64), v, CAST(0 AS BIGINT)

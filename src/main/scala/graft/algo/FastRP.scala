@@ -10,9 +10,10 @@ import graft.core.{GraphOps, PropertyGraph}
   * Reference: algo/src/main/java/org/neo4j/gds/embeddings/fastrp/
   * FastRP.java:1-435 — very-sparse random base vectors (entries
   * ±sqrt(3) w.p. 1/6 each, else 0), optionally scaled by
-  * degree^normalizationStrength; L rounds of neighbour MEAN aggregation,
-  * each round L2-normalized; final embedding = Σ_i iterationWeights(i) ·
-  * h^(i).
+  * degree^normalizationStrength and fed UNNORMALIZED into the first
+  * aggregation (the reference only normalizes propagation results); L
+  * rounds of neighbour MEAN aggregation, each round L2-normalized; final
+  * embedding = Σ_i iterationWeights(i) · h^(i).
   *
   * Spark formulation: the embedding is an `array<double>` column. A round
   * is two map-side-combined aggregations — explode to (dst, dim, value)
@@ -132,8 +133,14 @@ object FastRP {
           }.reduce(_ + _))
         concat(basePart, propPart)
       }
+    // Reference parity (FastRP.java): initial vectors enter the FIRST
+    // aggregation UNNORMALIZED — only propagation results are L2-normalized
+    // (each round below). Normalizing here would cancel the per-node
+    // degree^normalizationStrength scale (a uniform scalar per vector) and
+    // make hub/leaf init magnitudes indistinguishable; FastRpSpec pins the
+    // strength knob's effect.
     var state = vertices.join(inDeg, Seq("id"), "left")
-      .select(col("id"), l2normalize(initVec).as("h"))
+      .select(col("id"), initVec.as("h"))
 
     // accumulated Σ_i w_i · h^(i)
     var acc: DataFrame = vertices.select(col("id"),

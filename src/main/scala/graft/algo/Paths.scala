@@ -178,7 +178,21 @@ object Paths {
     * lazily persisted and the whole walk materializes in ONE action at the
     * end — round 1 ran persist+count per hop. */
   def randomWalks(graph: PropertyGraph, steps: Int, walksPerNode: Int = 1,
-                  seed: Long = 42L): DataFrame = {
+                  seed: Long = 42L,
+                  returnFactor: Double = 1.0,
+                  inOutFactor: Double = 1.0): DataFrame = {
+    // p/q-biased walks (the reference's gds.alpha.randomWalk is the
+    // node2vec walker — alpha/alpha-algo/.../impl/walking/RandomWalk.java):
+    // delegate to the rejection-sampled second-order walker and restore
+    // this function's (walkId, startId, step, nodeId) contract. walkId is
+    // "<startId>_<walkIndex>", so startId is recoverable without a join.
+    if (returnFactor != 1.0 || inOutFactor != 1.0)
+      return Node2Vec.biasedWalks(graph, Node2Vec.Node2VecConfig(
+          walkLength = steps + 1, walksPerNode = walksPerNode,
+          returnFactor = returnFactor, inOutFactor = inOutFactor, seed = seed))
+        .select(col("walkId"),
+          split(col("walkId"), "_").getItem(0).cast("long").as("startId"),
+          col("step"), col("nodeId"))
     val spark = graph.edges.sparkSession
     val parts = GraphOps.adaptiveParts(spark, graph.edges.count())
     GraphOps.withShuffleWidth(spark, parts) {

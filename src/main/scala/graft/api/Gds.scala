@@ -248,6 +248,9 @@ final class Gds(val spark: SparkSession) {
     def write(name: String, dir: String,
               cfg: NodeSimilarityConfig = NodeSimilarityConfig()): Unit =
       Modes.write(stream(name, cfg), dir)
+    def estimate(name: String,
+                 cfg: NodeSimilarityConfig = NodeSimilarityConfig()): EstimateResult =
+      Gds.this.estimate.nodeSimilarity(name, cfg)
   }
 
   object louvain {
@@ -261,6 +264,7 @@ final class Gds(val spark: SparkSession) {
       catalog.mutateNodeProperty(name, property, stream(name, cfg))
     def write(name: String, dir: String, cfg: LouvainConfig = LouvainConfig()): Unit =
       Modes.write(stream(name, cfg), dir)
+    def estimate(name: String): EstimateResult = Gds.this.estimate.louvain(name)
   }
 
   /** gds.beta.modularityOptimization: one Louvain level of local moves. */
@@ -279,6 +283,7 @@ final class Gds(val spark: SparkSession) {
     def mutate(name: String, property: String): PropertyGraph =
       catalog.mutateNodeProperty(name, property, stream(name))
     def write(name: String, dir: String): Unit = Modes.write(stream(name), dir)
+    def estimate(name: String): EstimateResult = Gds.this.estimate.betweenness(name)
   }
 
   object closeness {
@@ -351,8 +356,14 @@ final class Gds(val spark: SparkSession) {
   }
 
   object randomWalk {
-    def stream(name: String, steps: Int, walksPerNode: Int = 1, seed: Long = 42L): DataFrame =
-      Paths.randomWalks(catalog.get(name), steps, walksPerNode, seed)
+    /** `gds.alpha.randomWalk.stream` — uniform by default; `returnFactor`
+      * (p) / `inOutFactor` (q) != 1 switch to the node2vec-biased
+      * second-order walker, matching the reference's RandomWalk.java whose
+      * walk engine IS the node2vec one. */
+    def stream(name: String, steps: Int, walksPerNode: Int = 1, seed: Long = 42L,
+               returnFactor: Double = 1.0, inOutFactor: Double = 1.0): DataFrame =
+      Paths.randomWalks(catalog.get(name), steps, walksPerNode, seed,
+        returnFactor, inOutFactor)
   }
 
   object hits {
@@ -462,6 +473,14 @@ final class Gds(val spark: SparkSession) {
     def stream(name: String, property: String,
                cfg: Knn.KnnConfig = Knn.KnnConfig()): DataFrame =
       knn.stream(name, property, cfg)
+    /** Same mutate/write shape as [[knn]] (the reference's ANN proc family
+      * exposes write — ApproxNearestNeighborsProc write mode). */
+    def mutate(name: String, relType: String, property: String,
+               cfg: Knn.KnnConfig = Knn.KnnConfig()): PropertyGraph =
+      knn.mutate(name, relType, property, cfg)
+    def write(name: String, dir: String, property: String,
+              cfg: Knn.KnnConfig = Knn.KnnConfig()): Unit =
+      knn.write(name, dir, property, cfg)
   }
 
   /** `gds.alpha.similarity.{cosine,euclidean,pearson,overlap}.{stream,stats}`
@@ -490,6 +509,17 @@ final class Gds(val spark: SparkSession) {
       SpanningTree.kSpanningTree(catalog.get(name), k, startNode, minimize = false)
     def kmin(name: String, k: Int, startNode: Option[Long] = None): DataFrame =
       SpanningTree.kSpanningTree(catalog.get(name), k, startNode, minimize = true)
+    /** `gds.alpha.spanningTree.write` analogue (reference: alpha/alpha-proc/
+      * .../SpanningTreeProc.java — writes the tree relationships back):
+      * mutate registers the tree edges as a typed relationship set on the
+      * catalog graph; write persists them. */
+    def mutate(name: String, relType: String, startNode: Option[Long] = None,
+               minimize: Boolean = true): PropertyGraph =
+      catalog.addRelationships(name, relType, stream(name, startNode, minimize))
+    def write(name: String, dir: String, startNode: Option[Long] = None,
+              minimize: Boolean = true): Unit =
+      Modes.write(stream(name, startNode, minimize), dir)
+    def estimate(name: String): EstimateResult = Gds.this.estimate.spanningTree(name)
   }
 
   /** gds.alpha.sllpa — speaker-listener LPA, overlapping communities
@@ -514,12 +544,32 @@ final class Gds(val spark: SparkSession) {
                monteCarloSimulations: Int = 200): DataFrame =
       InfluenceMaximization.run(catalog.get(name), seedSetSize,
         propagationProbability, monteCarloSimulations).seeds
+    /** Attaches the marginal spread gain as a vertex property of the chosen
+      * seeds (null elsewhere) — the composition-friendly form of the
+      * reference's CELF result set. */
+    def mutate(name: String, property: String, seedSetSize: Int,
+               propagationProbability: Double = 0.1,
+               monteCarloSimulations: Int = 200): PropertyGraph =
+      catalog.mutateNodeProperty(name, property,
+        stream(name, seedSetSize, propagationProbability, monteCarloSimulations)
+          .select(col("nodeId").as("id"), col("spreadGain")))
+    def write(name: String, dir: String, seedSetSize: Int,
+              propagationProbability: Double = 0.1,
+              monteCarloSimulations: Int = 200): Unit =
+      Modes.write(stream(name, seedSetSize, propagationProbability,
+        monteCarloSimulations), dir)
   }
 
   /** gds.alpha.maxkcut (reference: alpha/.../impl/approxmaxkcut/ApproxMaxKCut.java). */
   object maxkcut {
     def stream(name: String, k: Int = 2, iterations: Int = 8): DataFrame =
       MaxKCut.run(catalog.get(name), k, iterations).assignments
+    def stats(name: String, k: Int = 2, iterations: Int = 8): Row =
+      Modes.communityStats(stream(name, k, iterations), "community")
+    def mutate(name: String, property: String, k: Int = 2, iterations: Int = 8): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name, k, iterations))
+    def write(name: String, dir: String, k: Int = 2, iterations: Int = 8): Unit =
+      Modes.write(stream(name, k, iterations), dir)
   }
 
   /** gds.alpha.scaleProperties (reference: algo-common/.../scaling/ScalarScaler.java). */
@@ -538,6 +588,22 @@ final class Gds(val spark: SparkSession) {
     * (reference: alpha/.../impl/triangle/TriangleStream.java). */
   object triangles {
     def stream(name: String): DataFrame = TriangleCount.triangleStream(catalog.get(name))
+    /** Attaches each node's triangle-participation count computed from the
+      * streamed (a,b,c) triples — identical to triangleCount.mutate but via
+      * the triple stream, matching the reference TriangleProc's
+      * stream-then-write pairing. */
+    def mutate(name: String, property: String): PropertyGraph = {
+      val t = stream(name)
+      val corners = t.select(col("a").as("id"))
+        .unionAll(t.select(col("b").as("id")))
+        .unionAll(t.select(col("c").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("triangles"))
+      val all = catalog.get(name).vertices.select("id")
+        .join(corners, Seq("id"), "left")
+        .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+      catalog.mutateNodeProperty(name, property, all)
+    }
+    def write(name: String, dir: String): Unit = Modes.write(stream(name), dir)
   }
 
   /** gds.alpha.collapsePath.mutate (reference: alpha/.../impl/walking/CollapsePath.java). */
@@ -554,6 +620,10 @@ final class Gds(val spark: SparkSession) {
   object deltaStepping {
     def stream(name: String, source: Long): DataFrame =
       Paths.sssp(catalog.get(name), source)
+    def mutate(name: String, property: String, source: Long): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name, source))
+    def write(name: String, dir: String, source: Long): Unit =
+      Modes.write(stream(name, source), dir)
   }
 
   /** gds.beta.graphSage — inductive embeddings: driver-sample training,
@@ -647,6 +717,36 @@ final class Gds(val spark: SparkSession) {
       val k = cfg.k.toLong
       mk("knn", n, m, 8L + 24L * k, 2L, n * 4L * k * k * 24L)
     }
+    /** Brandes: the forward MS-BFS materializes the full (source, node)
+      * visited frame (s, id, dist, sigma) ≈ 28 B/row — S×V rows (S =
+      * #sources, default n), the QUADRATIC state that makes a pre-run size
+      * gate matter most here (reference: BetweennessCentrality.java's
+      * per-source path state; ~70 GB on a 50k-node graph unsampled). The
+      * backward sweep shuffles ≤ S contribution rows per edge. */
+    def betweenness(name: String, sources: Long = -1L): EstimateResult = {
+      val (n, m) = dims(name)
+      val s = if (sources > 0) sources else n
+      mk("betweenness", n, m, 28L, s, s * m * 24L)
+    }
+    /** Louvain: two live assignment generations (current + next local-move
+      * round) at 16 B (id, communityId); the coarsened level graphs sum to
+      * ≤ 2x the input edge bytes (level sizes shrink geometrically). */
+    def louvain(name: String): EstimateResult =
+      { val (n, m) = dims(name); mk("louvain", n, m, 16L, 2L, m * 48L) }
+    /** NodeSimilarity: the capped result heap holds topK (n1, n2,
+      * similarity) 24 B rows per node; candidate-pair volume before the
+      * cutoff ≈ m x avgDegree shared-target wedges (hub cap bounds the true
+      * worst case further — this is the uncapped planning number). */
+    def nodeSimilarity(name: String,
+                       cfg: NodeSimilarityConfig = NodeSimilarityConfig()): EstimateResult = {
+      val (n, m) = dims(name)
+      mk("nodeSimilarity", n, m, 24L, cfg.topK.toLong,
+        if (n == 0) 0L else m * (m / n) * 24L)
+    }
+    /** Borůvka: per-node (id, component, candidate dst+weight) 32 B state,
+      * one live generation; every round shuffles each edge at most once. */
+    def spanningTree(name: String): EstimateResult =
+      { val (n, m) = dims(name); mk("spanningTree", n, m, 32L, 1L, m * 24L) }
     def forAlgorithm(name: String, algorithm: String): EstimateResult =
       algorithm match {
         case "pageRank" | "eigenvector" | "articleRank" =>
@@ -656,8 +756,16 @@ final class Gds(val spark: SparkSession) {
         case "triangleCount"      => triangleCount(name)
         case "fastRP"             => fastRP(name)
         case "knn"                => knn(name)
-        case other => // default: one double of state, one shuffled message/edge
-          val (n, m) = dims(name); mk(other, n, m, 32L, 1L, m * 16L)
+        case "betweenness"        => betweenness(name)
+        case "louvain" | "modularityOptimization" =>
+          louvain(name).copy(algorithm = algorithm)
+        case "nodeSimilarity"     => nodeSimilarity(name)
+        case "spanningTree"       => spanningTree(name)
+        case other => // generic fallback: one 32 B state row per node, one
+          // 16 B message per edge — flagged so callers know this is NOT a
+          // per-family model and can be off by orders of magnitude
+          val (n, m) = dims(name)
+          mk(other, n, m, 32L, 1L, m * 16L).copy(genericFallback = true)
       }
   }
 }
@@ -666,7 +774,11 @@ final case class EstimateResult(algorithm: String,
                                 nodeCount: Long, relationshipCount: Long,
                                 stateRowBytes: Long, stateBytes: Long,
                                 msgBytes: Long,
-                                bytesMin: Long, bytesMax: Long)
+                                bytesMin: Long, bytesMax: Long,
+                                /** true when no per-family model exists and
+                                  * the generic node+edge default was used —
+                                  * treat the numbers as a floor, not a gate */
+                                genericFallback: Boolean = false)
 
 object Gds {
   def apply(spark: SparkSession): Gds = new Gds(spark)

@@ -51,6 +51,44 @@ object Warc {
 
   private val WarcDate = DateTimeFormatter.ISO_INSTANT
 
+  /** Read-side telemetry (Spark accumulators, one set per session): at
+    * 100-TB ingestion a corrupt tail must not end a file's parse SILENTLY —
+    * these counters make skipped data observable from the driver after any
+    * action over a [[read]]/[[readStream]] result.
+    *
+    *  - `records`: response rows emitted
+    *  - `skippedNonResponse`: warcinfo/request/metadata records walked past
+    *    (normal in real crawl files)
+    *  - `garbledRecords`: response records dropped for a missing/garbled
+    *    URI or date
+    *  - `corruptTailFiles`: files whose parse ended BEFORE clean EOF (bad
+    *    header block, unparseable Content-Length, truncated payload)
+    *  - `corruptTailBytes`: approximate raw (on-disk) bytes left unread in
+    *    those files — approximate because decompression/buffering read
+    *    ahead of the parse position; never negative. */
+  final case class ReadMetrics(
+      records: org.apache.spark.util.LongAccumulator,
+      skippedNonResponse: org.apache.spark.util.LongAccumulator,
+      garbledRecords: org.apache.spark.util.LongAccumulator,
+      corruptTailFiles: org.apache.spark.util.LongAccumulator,
+      corruptTailBytes: org.apache.spark.util.LongAccumulator) {
+    def reset(): Unit = Seq(records, skippedNonResponse, garbledRecords,
+      corruptTailFiles, corruptTailBytes).foreach(_.reset())
+  }
+
+  private val metricsBySession =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, ReadMetrics]()
+
+  /** The session's WARC read counters (created on first use; named, so they
+    * also appear in the Spark UI's accumulator table per stage). */
+  def readMetrics(spark: SparkSession): ReadMetrics =
+    metricsBySession.computeIfAbsent(spark, s => ReadMetrics(
+      s.sparkContext.longAccumulator("graft.warc.records"),
+      s.sparkContext.longAccumulator("graft.warc.skippedNonResponse"),
+      s.sparkContext.longAccumulator("graft.warc.garbledRecords"),
+      s.sparkContext.longAccumulator("graft.warc.corruptTailFiles"),
+      s.sparkContext.longAccumulator("graft.warc.corruptTailBytes")))
+
   private val readSchema = StructType(Seq(
     StructField("url", StringType, nullable = false),
     StructField("warc_ts", TimestampType, nullable = false),
@@ -158,7 +196,7 @@ object Warc {
   def read(spark: SparkSession, dir: String): DataFrame =
     parsePaths(spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc*").load(dir)
-      .select(col("path")), spark)
+      .select(col("path"), col("length")), spark)
 
   /** Streaming variant: watch `dir` for new WARC files and emit their
     * response records as an unbounded `(url, warc_ts, html, lang)` stream —
@@ -174,20 +212,23 @@ object Warc {
         StructField("length", LongType),
         StructField("content", BinaryType))))
       .option("pathGlobFilter", "*.warc*").load(dir)
-      .select(col("path")), spark)
+      .select(col("path"), col("length")), spark)
 
-  /** (path) rows -> parsed response records; works identically on batch and
-    * streaming inputs (stateless mapPartitions). Each file is opened as a
-    * Hadoop input stream and parsed record-by-record; the stream closes at
-    * parse end, with a task-completion listener as the backstop for
-    * consumers that stop early (e.g. limit). */
+  /** (path, length) rows -> parsed response records; works identically on
+    * batch and streaming inputs (stateless mapPartitions). Each file is
+    * opened as a Hadoop input stream and parsed record-by-record; the stream
+    * closes at parse end, with a task-completion listener as the backstop
+    * for consumers that stop early (e.g. limit). Read telemetry lands in
+    * the session's [[readMetrics]] accumulators. */
   private def parsePaths(files: DataFrame, spark: SparkSession): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(readSchema)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    val m = readMetrics(spark)
     files.mapPartitions { rows =>
       rows.flatMap { r =>
         val p = new org.apache.hadoop.fs.Path(r.getString(0))
+        val fileLen = r.getLong(1)
         val raw = p.getFileSystem(conf.value).open(p)
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
@@ -196,7 +237,14 @@ object Warc {
         val in: InputStream =
           if (p.getName.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16)
           else new java.io.BufferedInputStream(raw, 1 << 16)
-        parseStream(in)
+        val onCorruptTail = () => {
+          m.corruptTailFiles.add(1L)
+          // approximate: getPos is the raw position AHEAD of the parse
+          // point (readahead/decompression buffering), so this is a floor
+          m.corruptTailBytes.add(math.max(0L,
+            fileLen - (try raw.getPos catch { case _: java.io.IOException => fileLen })))
+        }
+        parseStream(in, m, onCorruptTail)
       }
     }(enc)
   }
@@ -216,8 +264,10 @@ object Warc {
     * memory is O(one record), never O(file). Corrupt input — a header block
     * not starting with `WARC/`, a missing/non-numeric Content-Length, or a
     * payload cut short by EOF — ends the parse of this file cleanly after
-    * the records already emitted. */
-  private def parseStream(in: InputStream): Iterator[Row] = new Iterator[Row] {
+    * the records already emitted, and fires `onCorruptTail` exactly once so
+    * the skip is observable (accumulators), never silent. */
+  private def parseStream(in: InputStream, m: ReadMetrics,
+                          onCorruptTail: () => Unit): Iterator[Row] = new Iterator[Row] {
     private var closed = false
     private def closeIn(): Unit = if (!closed) {
       closed = true; try in.close() catch { case _: java.io.IOException => () }
@@ -225,21 +275,30 @@ object Warc {
     private def advance(): Row = {
       val r = advance0()
       if (r == null) closeIn() // EOF or corrupt tail: the file is done
+      else m.records.add(1L)
       r
     }
     private var nextRow: Row = advance()
     override def hasNext: Boolean = nextRow != null
     override def next(): Row = { val r = nextRow; nextRow = advance(); r }
 
+    /** True when the last `readHeader` null was a mid-block EOF or an
+      * oversize header — i.e. corruption rather than a clean end-of-file. */
+    private var headerCorrupt = false
+
     /** Bytes of one header block, up to and including CRLFCRLF; null at
-      * EOF/corruption. Headers are small — the accumulator is bounded by
-      * sanity-capping at 1 MiB (a "header" longer than that is garbage). */
+      * EOF/corruption (`headerCorrupt` distinguishes). Headers are small —
+      * the accumulator is bounded by sanity-capping at 1 MiB (a "header"
+      * longer than that is garbage). */
     private def readHeader(): String = {
       val acc = new ByteArrayOutputStream(512)
       var state = 0 // matched prefix length of \r\n\r\n
       while (state < 4) {
         val b = in.read()
-        if (b < 0 || acc.size() > (1 << 20)) return null
+        if (b < 0 || acc.size() > (1 << 20)) {
+          headerCorrupt = b >= 0 || acc.size() > 0
+          return null
+        }
         acc.write(b)
         state = (state, b.toChar) match {
           case (0, '\r') => 1
@@ -253,10 +312,13 @@ object Warc {
       new String(acc.toByteArray, UTF_8)
     }
 
+    private def corrupt(): Row = { onCorruptTail(); null }
+
     @annotation.tailrec
     private def advance0(): Row = {
       val header = readHeader()
-      if (header == null || !header.startsWith("WARC/")) null // corrupt/EOF: stop
+      if (header == null) { if (headerCorrupt) corrupt() else null } // EOF
+      else if (!header.startsWith("WARC/")) corrupt() // garbage block: stop
       else {
         // WARC (and HTTP) field names are case-insensitive per spec —
         // third-party files write e.g. `content-length`; an exact-case miss
@@ -282,17 +344,19 @@ object Warc {
         // byte[] row anyway and signals garbage, not data
         val len = if (lenStr != null && lenStr.nonEmpty && lenStr.length <= 9 &&
           lenStr.forall(_.isDigit)) lenStr.toInt else -1
-        if (len < 0) null // unparseable record boundary: stop cleanly
+        if (len < 0) corrupt() // unparseable record boundary: stop cleanly
         else {
           val payload = new Array[Byte](len)
           val sep = new Array[Byte](4)
           try { readFully(in, payload); readFully(in, sep) }
-          catch { case _: EOFException => return null } // truncated tail: stop
+          catch { case _: EOFException => return corrupt() } // truncated tail
           val uri  = h("WARC-Target-URI")
           val date = h("WARC-Date")
-          if (!"response".equalsIgnoreCase(h("WARC-Type")) || uri == null ||
-            date == null) advance0()
-          else {
+          if (!"response".equalsIgnoreCase(h("WARC-Type"))) {
+            m.skippedNonResponse.add(1L); advance0() // warcinfo/request/...
+          } else if (uri == null || date == null) {
+            m.garbledRecords.add(1L); advance0()
+          } else {
             // real CC response records hold a full HTTP message
             // (Content-Type: application/http): html is the BODY after the
             // HTTP head's CRLFCRLF. Our own text/html records are the body.
@@ -303,8 +367,9 @@ object Warc {
               else payload
             val ts = try java.sql.Timestamp.from(Instant.parse(date))
                      catch { case _: java.time.format.DateTimeParseException => null }
-            if (ts == null) advance0() // garbled date: skip record, keep walking
-            else Row(uri, ts, body, h("WARC-Identified-Content-Language"))
+            if (ts == null) { // garbled date: skip record, keep walking
+              m.garbledRecords.add(1L); advance0()
+            } else Row(uri, ts, body, h("WARC-Identified-Content-Language"))
           }
         }
       }

@@ -104,6 +104,27 @@ class FastRpSpec extends AnyFunSuite with SparkTestBase {
     assert(plain == noFeat)
   }
 
+  test("normalizationStrength scales init-vector magnitudes (not cancelled by normalization)") {
+    // the cycle+chord graph has mixed degrees (nodes 0 and 4 have degree 3,
+    // the rest 2): with unnormalized init vectors (reference behavior),
+    // degree^strength changes the relative weight of high-degree neighbors
+    // in the first aggregation, so strength != 0 MUST change the result.
+    // (The pre-fix code L2-normalized init vectors, cancelling the uniform
+    // per-node scale and silently making this knob a no-op.)
+    def embs(strength: Double) =
+      FastRP.run(graph, FastRP.FastRPConfig(embeddingDimension = 16,
+        iterationWeights = Seq(1.0), normalizationStrength = strength))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val s0 = embs(0.0)
+    val s1 = embs(1.0)
+    assert(s0 != s1, "normalizationStrength must influence the embeddings")
+    // results remain unit-norm per round regardless of init magnitudes
+    s1.foreach { case (id, e) =>
+      val n = math.sqrt(e.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"node $id norm $n under strength 1")
+    }
+  }
+
   test("structurally equivalent nodes get identical aggregated neighborhoods") {
     // two leaves hanging off the same hub see the same neighbor multiset,
     // so their ROUND-1 aggregation (weights [1,0]) must only differ through

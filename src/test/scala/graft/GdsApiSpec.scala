@@ -198,7 +198,22 @@ class GdsApiSpec extends AnyFunSuite with SparkTestBase {
         ids.select(col("id"), transform(sequence(lit(0), lit(9)), j =>
           struct(xxhash64(col("id"), j).as("neighbor_id"),
             (pmod(xxhash64(col("id"), j, lit(9)), lit(100000L)) / lit(100000.0)).as("similarity")))
-          .as("neighbors"))))
+          .as("neighbors"))),
+      // one (source, node) row of the Brandes forward frame MsBfs persists
+      ("betweenness", gds.betweenness.estimate("est2"),
+        ids.select(xxhash64(col("id"), lit(6)).as("s"), col("id"),
+          pmod(xxhash64(col("id"), lit(7)), lit(30L)).cast("int").as("dist"),
+          pmod(xxhash64(col("id"), lit(8)), lit(1000L)).as("sigma"))),
+      ("louvain", gds.louvain.estimate("est2"),
+        ids.select(col("id"), xxhash64(col("id"), lit(9)).as("communityId"))),
+      // one row of the capped topK similarity-pair heap
+      ("nodeSimilarity", gds.nodeSimilarity.estimate("est2"),
+        ids.select(col("id").as("n1"), xxhash64(col("id"), lit(10)).as("n2"),
+          hdouble(11).as("similarity"))),
+      // Borůvka per-node state: component + candidate (dst, weight)
+      ("spanningTree", gds.spanningTree.estimate("est2"),
+        ids.select(col("id"), xxhash64(col("id"), lit(12)).as("component"),
+          xxhash64(col("id"), lit(13)).as("candDst"), hdouble(14).as("candW"))))
     states.foreach { case (name, est, state) =>
       val perRow = est.stateRowBytes.toDouble
       val meas = cachedBytesPerRow(state)
@@ -208,6 +223,19 @@ class GdsApiSpec extends AnyFunSuite with SparkTestBase {
     }
     // per-family formulas genuinely differ (no vestigial constant)
     assert(states.map(_._2.stateRowBytes).distinct.size >= 4)
+    // betweenness is the QUADRATIC family: S x V state (the pre-run gate
+    // that matters most; ~70 GB here, not the generic model's ~2 MB)
+    val bw = gds.betweenness.estimate("est2")
+    assert(bw.stateBytes == 50000L * 28L * 50000L)
+    assert(!bw.genericFallback)
+    assert(gds.estimate.forAlgorithm("est2", "betweenness").stateBytes == bw.stateBytes)
+    // sampled sources shrink the model linearly
+    assert(gds.estimate.betweenness("est2", sources = 100L).stateBytes ==
+      50000L * 28L * 100L)
+    // unknown families fall through to the generic default AND say so
+    val gen = gds.estimate.forAlgorithm("est2", "somethingElse")
+    assert(gen.genericFallback)
+    assert(states.forall(!_._2.genericFallback))
     gds.graph.drop("est2")
   }
 
@@ -275,6 +303,56 @@ class GdsApiSpec extends AnyFunSuite with SparkTestBase {
     } finally {
       graft.io.Fs.deleteRecursively(dir)
       gds.graph.drop("modes"); gds.graph.drop("simgraph")
+    }
+  }
+
+  test("mode matrix: alpha-tail mutate/write (ann, maxkcut, influenceMax, deltaStepping, triangles, spanningTree)") {
+    val gds = graft.api.Gds(spark)
+    val g = graphOf(6, Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 3L, 3L -> 4L, 4L -> 3L, 4L -> 5L))
+    val verts = g.vertices.withColumn("vec",
+      array(col("id").cast("double"), (col("id") * 2 + 1).cast("double")))
+    gds.graph.create("alpha", verts,
+      g.edges.withColumn("weight", lit(1.0) + col("src").cast("double")))
+    val dir = Files.createTempDirectory("graft-alpha-modes").toString
+    try {
+      // relationship mutates
+      gds.ann.mutate("alpha", "ANN", "vec", graft.algo.Knn.KnnConfig(k = 2))
+      gds.spanningTree.mutate("alpha", "MST", startNode = Some(0L))
+      val edges = gds.catalog.get("alpha").edges
+      assert(edges.filter(col("rel_type") === "ANN").count() > 0)
+      // the MST of a connected 6-node graph has 5 edges
+      assert(edges.filter(col("rel_type") === "MST").count() == 5)
+      // node-property mutates chain into later reads
+      gds.maxkcut.mutate("alpha", "cut", k = 2)
+      gds.influenceMaximization.mutate("alpha", "spread", seedSetSize = 2,
+        monteCarloSimulations = 20)
+      gds.deltaStepping.mutate("alpha", "dist0", source = 0L)
+      gds.triangles.mutate("alpha", "triPart")
+      val vcols = gds.catalog.get("alpha").vertices
+      Seq("cut", "spread", "dist0", "triPart").foreach(c =>
+        assert(vcols.columns.contains(c), s"missing mutated column $c"))
+      // triangle participation via the triple stream == triangleCount
+      val triProp = vcols.select("id", "triPart")
+      val tc = gds.triangleCount.stream("alpha")
+      val joined = triProp.join(tc, "id")
+        .filter(col("triPart") =!= col("triangles")).count()
+      assert(joined == 0, "triangles.mutate must agree with triangleCount")
+      // stats row for maxkcut
+      assert(gds.maxkcut.stats("alpha").getLong(0) > 0)
+      // writes persist committed snapshots
+      gds.ann.write("alpha", s"$dir/ann", "vec", graft.algo.Knn.KnnConfig(k = 2))
+      gds.maxkcut.write("alpha", s"$dir/maxkcut")
+      gds.influenceMaximization.write("alpha", s"$dir/im", seedSetSize = 2,
+        monteCarloSimulations = 20)
+      gds.deltaStepping.write("alpha", s"$dir/delta", source = 0L)
+      gds.triangles.write("alpha", s"$dir/tri")
+      gds.spanningTree.write("alpha", s"$dir/mst", startNode = Some(0L))
+      for (sub <- Seq("ann", "maxkcut", "im", "delta", "tri", "mst"))
+        assert(graft.io.SnapshotStore.latest(s"$dir/$sub").isDefined,
+          s"no committed snapshot under $dir/$sub")
+    } finally {
+      graft.io.Fs.deleteRecursively(dir)
+      gds.graph.drop("alpha")
     }
   }
 

@@ -258,6 +258,42 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(perVideo.nonEmpty && perVideo.forall(_ == 3))
   }
 
+  test("real image codec: PNG decode recovers true dims, channel means, and pixel histograms") {
+    import spark.implicits._
+    val ids = spark.range(40).toDF("id")
+    val media = Multimodal.synthPngs(ids).persist()
+    // payloads are REAL PNGs (magic sniff + full ImageIO decode)
+    val first = media.orderBy("media_id").select("bytes").head.getAs[Array[Byte]](0)
+    assert(Multimodal.RealCodec.looksLikeImage(first))
+    // decodeImages must report the TRUE dimensions (not the stub's)
+    val dec = Multimodal.decodeImages(media).collect()
+    dec.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("width") == 16 + (id % 32).toInt, s"width of $id")
+      assert(r.getAs[Int]("height") == 8 + (id % 16).toInt, s"height of $id")
+      assert(r.getAs[Int]("channels") == 3)
+    }
+    // imageStats: exact channel means of a solid color
+    Multimodal.imageStats(media).collect().foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Double]("mean_r") == (id * 37 % 256).toDouble, s"mean_r of $id")
+      assert(r.getAs[Double]("mean_g") == (id * 59 % 256).toDouble, s"mean_g of $id")
+      assert(r.getAs[Double]("mean_b") == (id * 83 % 256).toDouble, s"mean_b of $id")
+    }
+    // extractFeatures over real images: a solid color puts ALL mass in one
+    // luma histogram bin, and the histogram sums to 1
+    Multimodal.extractFeatures(media, dim = 16).collect().foreach { r =>
+      val e = r.getAs[scala.collection.Seq[Float]]("embedding")
+      assert(e.length == 16)
+      assert(math.abs(e.sum - 1.0f) < 1e-6, s"histogram sum ${e.sum}")
+      assert(e.count(_ > 0f) == 1, s"solid color must fill exactly one bin: $e")
+    }
+    // non-image payloads still take the stub path (dims within stub bounds)
+    val stub = Multimodal.decodeImages(Multimodal.synthMedia(spark, 5)).collect()
+    assert(stub.forall(r => r.getAs[Int]("width") <= 1920))
+    media.unpersist()
+  }
+
   test("sessionize splits on the gap and aggregates values") {
     import spark.implicits._
     val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)

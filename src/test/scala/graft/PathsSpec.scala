@@ -44,6 +44,46 @@ class PathsSpec extends AnyFunSuite with SparkTestBase {
     assert(w1.filter(col("startId") === 6L && col("step") > 0).count() == 0)
   }
 
+  test("biased random walks (p/q): deterministic, edge-respecting, distribution shifts") {
+    // triangle 0-1-2 (both directions) plus a 1->3 spur: from 1, a q<1 walk
+    // prefers exploring OUT of the previous node's neighborhood (3), a q>1
+    // walk prefers staying inside the triangle (2), and p<<1 backtracks.
+    val tri = Seq(0L -> 1L, 1L -> 0L, 1L -> 2L, 2L -> 1L, 2L -> 0L, 0L -> 2L, 1L -> 3L)
+    val g = graphOf(4, tri)
+    def walks(p: Double, q: Double) =
+      Paths.randomWalks(g, steps = 6, walksPerNode = 40, seed = 11L,
+        returnFactor = p, inOutFactor = q)
+    // determinism, and contract parity with the uniform walker
+    val a = walks(0.5, 2.0)
+    val b = walks(0.5, 2.0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.columns.toSeq == Seq("walkId", "startId", "step", "nodeId"))
+    // every transition is a real edge
+    val trans = a.alias("x").join(a.alias("y"),
+        col("x.walkId") === col("y.walkId") && col("y.step") === col("x.step") + 1)
+      .select(col("x.nodeId").as("src"), col("y.nodeId").as("dst"))
+    val edgeSet = tri.toSet
+    assert(trans.collect().forall(r => edgeSet.contains((r.getLong(0), r.getLong(1)))))
+    // distribution: strong return bias (p tiny) must produce MORE immediate
+    // backtracks (t-1 == t+1) than strong away bias (p huge)
+    def backtracks(df: org.apache.spark.sql.DataFrame): Long =
+      df.alias("x").join(df.alias("y"),
+          col("x.walkId") === col("y.walkId") && col("y.step") === col("x.step") + 2)
+        .filter(col("x.nodeId") === col("y.nodeId")).count()
+    val back = backtracks(walks(0.05, 1.0))
+    val away = backtracks(walks(20.0, 1.0))
+    assert(back > away,
+      s"p=0.05 backtracks ($back) should exceed p=20 backtracks ($away)")
+    // q: from node 1 after arriving 0->1, candidate 3 is NOT adjacent to 0
+    // (out-bias target); low q should visit 3 more often than high q
+    def spurVisits(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("nodeId") === 3L).count()
+    val explore = spurVisits(walks(1.0, 0.05))
+    val stay    = spurVisits(walks(1.0, 20.0))
+    assert(explore > stay,
+      s"q=0.05 spur visits ($explore) should exceed q=20 spur visits ($stay)")
+  }
+
   test("hits: authorities and hubs on a star") {
     // 1,2,3 all point to 0 -> 0 is the authority; 1,2,3 equal hubs
     val g = graphOf(4, Seq(1L -> 0L, 2L -> 0L, 3L -> 0L))

@@ -223,6 +223,46 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     } finally rm(d)
   }
 
+  test("read telemetry: corrupt tails and skipped records are counted, never silent") {
+    val d = tmp()
+    try {
+      val good = "<p>ok</p>"
+      def rec(n: Int, typ: String = "response") =
+        s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Record-ID: <urn:x:$n>\r\n" +
+        s"WARC-Date: 2020-09-13T12:26:4${n}Z\r\nWARC-Target-URI: https://cc.example/$n\r\n" +
+        s"Content-Type: text/html\r\nContent-Length: ${good.length}\r\n\r\n$good\r\n\r\n"
+      // file A: 2 good records, then a warcinfo, then a garbled-date
+      // response, then a record whose Content-Length is garbage followed by
+      // trailing junk the parser must NOT emit — a corrupt TAIL
+      val garbled = rec(3).replace("2020-09-13T12:26:43Z", "not-a-date")
+      val corrupt = "WARC/1.0\r\nWARC-Type: response\r\n" +
+        "Content-Length: NOT_A_NUMBER\r\n\r\n" + ("x" * 500)
+      java.nio.file.Files.write(java.nio.file.Paths.get(d, "a.warc"),
+        (rec(1) + rec(2) + rec(9, "warcinfo") + garbled + corrupt).getBytes("UTF-8"))
+      // file B: fully clean — must not count as a corrupt tail
+      java.nio.file.Files.write(java.nio.file.Paths.get(d, "b.warc"),
+        rec(4).getBytes("UTF-8"))
+      val m = Warc.readMetrics(spark)
+      m.reset()
+      val got = Warc.read(spark, d).collect()
+      assert(got.length === 3) // 1,2 from file A + 4 from file B
+      assert(m.records.value === 3L)
+      assert(m.skippedNonResponse.value === 1L) // the warcinfo
+      assert(m.garbledRecords.value === 1L)     // the not-a-date response
+      assert(m.corruptTailFiles.value === 1L)   // file A only
+      assert(m.corruptTailBytes.value >= 0L)
+      // a clean re-read of only the good file counts nothing bad
+      m.reset()
+      val d2 = tmp()
+      try {
+        java.nio.file.Files.copy(java.nio.file.Paths.get(d, "b.warc"),
+          java.nio.file.Paths.get(d2, "b.warc"))
+        assert(Warc.read(spark, d2).count() === 1L)
+        assert(m.corruptTailFiles.value === 0L && m.garbledRecords.value === 0L)
+      } finally rm(d2)
+    } finally rm(d)
+  }
+
   test("extracted text from warc-read html matches the original table (north-rule invariant)") {
     val d = tmp()
     try {
