@@ -9,7 +9,16 @@ import graft.core.{GraphOps, PropertyGraph}
   * algo/src/main/java/org/neo4j/gds/triangle/IntersectingTriangleCount.java:58,161-166). */
 final case class TriangleCountConfig(
   maxDegree: Option[Long] = None,
-  numPartitions: Option[Int] = None)
+  numPartitions: Option[Int] = None,
+  /** > 1 splits the wedge build into K hash-of-lowest-corner batches run as
+    * separate jobs, with per-batch corner counts spilled to a temp parquet
+    * table and summed at the end — identical results, peak shuffle
+    * footprint ~1/K of the single-job plan. The O(m^1.5) wedge stream is
+    * the algorithm's inherent cost; a 1000-executor cluster absorbs it in
+    * aggregate shuffle space and should keep the default single job, but a
+    * disk-bounded deployment (or a 10x-input single box — see BASELINE.md's
+    * robustness probe) picks K so one batch fits its shuffle capacity. */
+  wedgeBatches: Int = 1)
 
 final case class TriangleCountResult(
   localTriangles: DataFrame, // (id, triangles) — -1 for excluded nodes
@@ -82,12 +91,38 @@ object TriangleCount {
     val e1 = oriented.select(col("src").as("u"), col("dst").as("v"))
     val e2 = oriented.select(col("src").as("v"), col("dst").as("w"))
     val e3 = oriented.select(col("src").as("u"), col("dst").as("w"))
-    val triangles = e1.join(e2, "v").join(e3, Seq("u", "w")).select("u", "v", "w")
-
-    val cornerCounts = triangles.select(col("u").as("id"))
-      .unionByName(triangles.select(col("v").as("id")))
-      .unionByName(triangles.select(col("w").as("id")))
+    def corners(tri: DataFrame): DataFrame = tri.select(col("u").as("id"))
+      .unionByName(tri.select(col("v").as("id")))
+      .unionByName(tri.select(col("w").as("id")))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
+
+    val cornerCounts =
+      if (cfg.wedgeBatches <= 1)
+        corners(e1.join(e2, "v").join(e3, Seq("u", "w")).select("u", "v", "w"))
+      else {
+        // Bounded-peak-footprint mode: batch b takes the wedges whose LOWEST
+        // corner hashes to b (u partitions every wedge AND every triangle
+        // exactly once, so per-batch corner counts sum to the exact result).
+        // Each batch is its own job whose partial counts land in a temp
+        // parquet table; dropping the batch's plan references and nudging GC
+        // lets the ContextCleaner reclaim its shuffle files before the next
+        // batch runs — peak shuffle disk is one batch's, not the sum's.
+        val k = cfg.wedgeBatches
+        val tmp = java.nio.file.Files.createTempDirectory("graft-tri-batch").toString
+        try {
+          for (b <- 0 until k) {
+            val e1b = e1.filter(pmod(xxhash64(col("u")), lit(k.toLong)) === lit(b.toLong))
+            corners(e1b.join(e2, "v").join(e3, Seq("u", "w")).select("u", "v", "w"))
+              .write.mode("append").parquet(tmp)
+            System.gc() // release the finished batch's shuffle files
+          }
+          spark.read.parquet(tmp)
+            .groupBy("id").agg(sum("triangles").as("triangles"))
+            // eager local checkpoint: materializes AND cuts lineage to the
+            // about-to-vanish temp files
+            .localCheckpoint(true)
+        } finally graft.io.Fs.deleteRecursively(tmp)
+      }
 
     val local0 = graph.vertices.select("id")
       .join(cornerCounts, Seq("id"), "left")

@@ -129,6 +129,28 @@ class TriangleCountSpec extends AnyFunSuite with SparkTestBase {
     assert(collectMap(c3, "id", "coefficient").values.forall(_ == 0.0) && avg3 == 0.0)
   }
 
+  test("wedgeBatches (bounded-peak-footprint mode) matches the single-job plan exactly") {
+    // seeded random graph: batching by hash of the lowest corner must give
+    // bit-identical local counts and global count for any K
+    val rnd = new scala.util.Random(13L)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val g = graphOf(40, edges)
+    val single = TriangleCount.run(g, TriangleCountConfig())
+    for (k <- Seq(2, 5)) {
+      val batched = TriangleCount.run(g, TriangleCountConfig(wedgeBatches = k))
+      assert(batched.globalTriangles == single.globalTriangles, s"global at K=$k")
+      val s = collectLongMap(single.localTriangles, "id", "triangles")
+      val b = collectLongMap(batched.localTriangles, "id", "triangles")
+      assert(b == s, s"local counts at K=$k")
+    }
+    // maxDegree exclusion composes with batching
+    val ex1 = TriangleCount.run(g, TriangleCountConfig(maxDegree = Some(12L)))
+    val ex2 = TriangleCount.run(g, TriangleCountConfig(maxDegree = Some(12L), wedgeBatches = 3))
+    assert(ex2.globalTriangles == ex1.globalTriangles)
+    assert(collectLongMap(ex2.localTriangles, "id", "triangles") ==
+      collectLongMap(ex1.localTriangles, "id", "triangles"))
+  }
+
   test("triangle stream emits ordered triples") {
     val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 0L -> 3L, 3L -> 4L, 4L -> 0L)
     val triples = TriangleCount.triangleStream(graphOf(5, edges))
