@@ -313,18 +313,44 @@ final class Gds(val spark: SparkSession) {
   }
 
   object shortestPath {
+    /** mutate/write parity with the reference's path procs (proc/
+      * path-finding/.../ShortestPath{Dijkstra,Yens,AStar}{Mutate,Write}
+      * Proc.java): each found path becomes ONE relationship
+      * (source)-[relType {weight = totalCost}]->(target). */
     object dijkstra {
       def stream(name: String, source: Long, target: Long): DataFrame =
         ShortestPaths.dijkstra(catalog.get(name), source, target)
+      def mutate(name: String, relType: String, source: Long, target: Long): PropertyGraph =
+        catalog.addRelationships(name, relType, stream(name, source, target)
+          .select(col("sourceNode").as("src"), col("targetNode").as("dst"),
+            col("totalCost").as("weight")))
+      def write(name: String, dir: String, source: Long, target: Long): Unit =
+        Modes.write(stream(name, source, target), dir)
     }
     object yens {
       def stream(name: String, source: Long, target: Long, k: Int): DataFrame =
         ShortestPaths.yens(catalog.get(name), source, target, k)
+      /** One relationship per accepted path; the path INDEX rides along so
+        * the k alternatives stay distinguishable after projection. */
+      def mutate(name: String, relType: String, source: Long, target: Long, k: Int): PropertyGraph =
+        catalog.addRelationships(name, relType, stream(name, source, target, k)
+          .select(lit(source).as("src"), lit(target).as("dst"),
+            col("totalCost").as("weight"), col("index")))
+      def write(name: String, dir: String, source: Long, target: Long, k: Int): Unit =
+        Modes.write(stream(name, source, target, k), dir)
     }
     object astar {
       def stream(name: String, source: Long, target: Long,
                  latCol: String = "latitude", lonCol: String = "longitude"): DataFrame =
         ShortestPaths.astar(catalog.get(name), source, target, latCol, lonCol)
+      def mutate(name: String, relType: String, source: Long, target: Long,
+                 latCol: String = "latitude", lonCol: String = "longitude"): PropertyGraph =
+        catalog.addRelationships(name, relType, stream(name, source, target, latCol, lonCol)
+          .select(col("sourceNode").as("src"), col("targetNode").as("dst"),
+            col("totalCost").as("weight")))
+      def write(name: String, dir: String, source: Long, target: Long,
+                latCol: String = "latitude", lonCol: String = "longitude"): Unit =
+        Modes.write(stream(name, source, target, latCol, lonCol), dir)
     }
   }
 
@@ -342,17 +368,29 @@ final class Gds(val spark: SparkSession) {
     def streamAllPairsWeighted(name: String, sources: Option[DataFrame] = None,
                                orientation: Orientation = Orientation.Natural): DataFrame =
       ShortestPaths.allShortestPathsWeighted(catalog.get(name), sources, orientation)
+    def write(name: String, dir: String, source: Long): Unit =
+      Modes.write(stream(name, source), dir)
   }
 
   object bfs {
     def stream(name: String, source: Long): DataFrame =
       Paths.bfs(catalog.get(name), source)
+    /** Spark-idiomatic composition form of the reference's BFS mutate: the
+      * traversal result (hop distance from `source`) becomes a vertex
+      * property downstream algorithms can filter/join on. */
+    def mutate(name: String, property: String, source: Long): PropertyGraph =
+      catalog.mutateNodeProperty(name, property, stream(name, source))
+    def write(name: String, dir: String, source: Long): Unit =
+      Modes.write(stream(name, source), dir)
   }
 
   object dfs {
     def stream(name: String, source: Long, maxDepth: Int = Int.MaxValue,
                targets: Set[Long] = Set.empty): DataFrame =
       Paths.dfs(catalog.get(name), source, maxDepth = maxDepth, targets = targets)
+    def write(name: String, dir: String, source: Long,
+              maxDepth: Int = Int.MaxValue, targets: Set[Long] = Set.empty): Unit =
+      Modes.write(stream(name, source, maxDepth, targets), dir)
   }
 
   object randomWalk {

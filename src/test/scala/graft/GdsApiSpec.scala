@@ -306,6 +306,42 @@ class GdsApiSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mode matrix: path procs mutate/write (dijkstra, yens, astar, bfs, dfs, allShortestPaths)") {
+    val gds = graft.api.Gds(spark)
+    // weighted path graph 0->1->2->3 plus a costly shortcut 0->3
+    val verts = spark.range(4).toDF("id")
+      .withColumn("latitude", col("id").cast("double"))
+      .withColumn("longitude", lit(0.0))
+    val edges = spark.createDataFrame(Seq(
+      (0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 3L, 1.0), (0L, 3L, 10.0)))
+      .toDF("src", "dst", "weight")
+    gds.graph.create("paths", verts, edges)
+    val dir = Files.createTempDirectory("graft-path-modes").toString
+    try {
+      gds.shortestPath.dijkstra.mutate("paths", "SP", 0L, 3L)
+      gds.shortestPath.astar.mutate("paths", "ASTAR", 0L, 3L)
+      gds.shortestPath.yens.mutate("paths", "YENS", 0L, 3L, 2)
+      gds.bfs.mutate("paths", "hop", 0L)
+      val g = gds.catalog.get("paths")
+      val sp = g.edges.filter(col("rel_type") === "SP").collect()
+      assert(sp.length == 1)
+      assert(sp(0).getAs[Long]("src") == 0L && sp(0).getAs[Long]("dst") == 3L)
+      assert(sp(0).getAs[Double]("weight") == 3.0) // 0->1->2->3, not the 10.0 shortcut
+      assert(g.edges.filter(col("rel_type") === "ASTAR").count() == 1)
+      assert(g.edges.filter(col("rel_type") === "YENS").count() == 2) // k=2 paths
+      assert(g.vertices.columns.contains("hop"))
+      gds.shortestPath.dijkstra.write("paths", s"$dir/sp", 0L, 3L)
+      gds.dfs.write("paths", s"$dir/dfs", 0L)
+      gds.allShortestPaths.write("paths", s"$dir/asp", 0L)
+      for (sub <- Seq("sp", "dfs", "asp"))
+        assert(graft.io.SnapshotStore.latest(s"$dir/$sub").isDefined,
+          s"no committed snapshot under $dir/$sub")
+    } finally {
+      graft.io.Fs.deleteRecursively(dir)
+      gds.graph.drop("paths")
+    }
+  }
+
   test("mode matrix: alpha-tail mutate/write (ann, maxkcut, influenceMax, deltaStepping, triangles, spanningTree)") {
     val gds = graft.api.Gds(spark)
     val g = graphOf(6, Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 3L, 3L -> 4L, 4L -> 3L, 4L -> 5L))
