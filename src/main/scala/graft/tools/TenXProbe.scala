@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.algo.{TriangleCount, Wcc, WccConfig}
+import graft.algo.{LabelPropagation, LpConfig, Schedule, TriangleCount, Wcc, WccConfig}
 import graft.core.PropertyGraph
 import graft.io.Pages
 
@@ -53,6 +53,18 @@ object TenXProbe {
         s""""components":$nComp,""" +
         s""""edges_per_sec":${"%.0f".format(e / secs)},""" +
         s""""edges_per_sec_per_round":${"%.0f".format(e.toDouble * r.ranIterations / secs)}}""")
+    }
+    if (algos("lp")) {
+      // 5 synchronous rounds, the secondary-scaling shape (fixed work at
+      // any input size, like the PageRank superstep headline)
+      val t0 = System.nanoTime()
+      val r  = LabelPropagation.run(graph,
+        LpConfig(maxIterations = 5, schedule = Schedule.Sync))
+      val labels = r.labels.select("label").distinct().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(s"""{"probe":"tenx-lp","secs":${"%.1f".format(secs)},""" +
+        s""""rounds":5,"distinct_labels":$labels,""" +
+        s""""edges_per_sec_per_round":${"%.0f".format(e.toDouble * 5 / secs)}}""")
     }
     if (algos("triangle")) {
       // the O(m^1.5) wedge stream at 147M edges (~100 GB shuffle) exceeds a
