@@ -568,6 +568,37 @@ object SparkEntry {
       Seq((invalid, nWalks, full))
         .toDF("invalid_transitions", "walks", "complete_walks")
     }),
+    "q_random_walks_biased" -> ((s, dir) => {
+      // p/q-biased walker (gds.alpha.randomWalk with return/in-out factors,
+      // delegating to the node2vec rejection sampler): same validity
+      // projection as q_random_walks PLUS the bias direction itself —
+      // a strong return bias (p=0.05) must produce more immediate
+      // backtracks (node at t-2 == node at t) than a strong away bias
+      // (p=20), and runs must be deterministic.
+      val g = denseGraph(s, dir)
+      def walks(p: Double) = Paths.randomWalks(g, steps = 4, walksPerNode = 1,
+        seed = 7L, returnFactor = p, inOutFactor = 1.0)
+      val w = walks(0.05)
+      val trans = w.select(col("walkId"), col("step"), col("nodeId"))
+        .join(w.select(col("walkId"), (col("step") - 1).as("step"),
+          col("nodeId").as("next")), Seq("walkId", "step"))
+      val invalid = trans.join(
+          g.edges.select(col("src").as("nodeId"), col("dst").as("next")).distinct(),
+          Seq("nodeId", "next"), "left_anti").count()
+      def backtracks(df: org.apache.spark.sql.DataFrame): Long =
+        df.alias("x").join(df.alias("y"),
+            col("x.walkId") === col("y.walkId") &&
+            col("y.step") === col("x.step") + 2)
+          .filter(col("x.nodeId") === col("y.nodeId")).count()
+      val biasOk = backtracks(w) > backtracks(walks(20.0))
+      val det = {
+        val w2 = walks(0.05)
+        w.exceptAll(w2).isEmpty && w2.exceptAll(w).isEmpty
+      }
+      val spark = s; import spark.implicits._
+      Seq((invalid, w.filter(col("step") === 0).count(), biasOk, det))
+        .toDF("invalid_transitions", "walks", "backtrack_bias_ok", "deterministic")
+    }),
     "q_dijkstra" -> ((s, dir) => dijkstraQuery(s, dir, tail = 500000L)),
     "q_betweenness" -> ((s, dir) => betweennessQuery(s, dir, tail = 500000L)),
     "q_closeness" -> ((s, dir) => closenessQuery(s, dir, tail = 500000L)),
@@ -2330,6 +2361,11 @@ object SparkEntry {
          |SELECT CAST(0 AS BIGINT) AS invalid_transitions,
          |  (SELECT count(*) FROM nodes) AS walks,
          |  (SELECT count(*) FROM nodes) AS complete_walks""".stripMargin,
+    "q_random_walks_biased" ->
+      s"""WITH edges AS ($DenseEdgesSql), $NodesSql
+         |SELECT CAST(0 AS BIGINT) AS invalid_transitions,
+         |  (SELECT count(*) FROM nodes) AS walks,
+         |  true AS backtrack_bias_ok, true AS deterministic""".stripMargin,
     "q_generate" ->
       """SELECT CAST(2000 AS BIGINT) AS uniform_edges,
         |CAST(0 AS BIGINT) AS uniform_degree_violations,
