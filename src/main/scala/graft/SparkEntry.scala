@@ -1854,6 +1854,12 @@ object SparkEntry {
     // the distributed plans that run at scale, not just the driver-local
     // tails the tiny test graphs would otherwise take (VERDICT r2 item 3;
     // local==distributed parity is additionally unit-asserted per algo).
+    "q_wcc_dist" -> ((s, dir) =>
+      // forced-distributed star contraction to fixpoint (localSolveThreshold
+      // -1 disables the union-find tail): the north-rule algorithm's
+      // at-scale loop under the same exact component oracle as q_wcc
+      Wcc.run(ordersGraph(s, dir),
+        WccConfig(localSolveThreshold = -1L)).components.orderBy("id")),
     "q_dijkstra_dist" -> ((s, dir) => dijkstraQuery(s, dir, tail = -1L)),
     "q_astar_dist" -> ((s, dir) => astarQuery(s, dir, tail = -1L)),
     "q_yens_dist" -> ((s, dir) => yensQuery(s, dir, localSolve = -1L)),
@@ -1949,7 +1955,7 @@ object SparkEntry {
   /** Queries whose `_dist` (forced-distributed) variant reuses the base
     * oracle verbatim — same input graph, same output contract. */
   private val DistVariantKeys = Seq("q_dijkstra", "q_astar", "q_yens",
-    "q_scc", "q_louvain_l1", "q_betweenness", "q_closeness", "q_knn")
+    "q_scc", "q_louvain_l1", "q_betweenness", "q_closeness", "q_knn", "q_wcc")
 
   def oracleSql: Map[String, String] =
     baseOracleSql ++ DistVariantKeys.map(k => s"${k}_dist" -> baseOracleSql(k))
