@@ -337,6 +337,102 @@ object SparkEntry {
       maxLevels = 1, maxInnerIterations = 1, schedule = Schedule.FullSync,
       localTailThreshold = tail)).communities.orderBy("id")
 
+  private def harmonicQuery(s: SparkSession, dir: String, tail: Long): DataFrame =
+    MsBfs.harmonic(denseGraph(s, dir), localTailThreshold = tail)
+      .select(col("id"), graft.core.Num.roundTo(col("centrality"), 6).as("centrality"))
+      .orderBy("id")
+
+  /** All-pairs distance stream over a bounded source set (30 sources):
+    * the reference's gds.alpha.allShortestPaths.stream semantics. */
+  private def allPairsQuery(s: SparkSession, dir: String, tail: Long): DataFrame = {
+    val g = denseGraph(s, dir)
+    MsBfs.allShortestPaths(g,
+        sources = Some(g.vertices.filter(col("id") < 30).select("id")),
+        localTailThreshold = tail)
+      .orderBy("sourceNodeId", "targetNodeId")
+  }
+
+  /** Weighted all-pairs distance stream over a bounded source set: the
+    * weighted gds.alpha.allShortestPaths.stream semantics. */
+  private def weightedAllPairsQuery(s: SparkSession, dir: String, tail: Long): DataFrame = {
+    val g = denseGraph(s, dir)
+    val weighted = g.copy(edges = g.edges
+      .withColumn("weight", (pmod(col("src") * 31 + col("dst"), lit(5)) + 1).cast("double")))
+    ShortestPaths.allShortestPathsWeighted(weighted,
+        sources = Some(g.vertices.filter(col("id") < 20).select("id")),
+        localTailThreshold = tail)
+      .select(col("sourceNodeId"), col("targetNodeId"),
+        graft.core.Num.roundTo(col("distance"), 6).as("distance"))
+      .orderBy("sourceNodeId", "targetNodeId")
+  }
+
+  /** Path edges weigh 1..7, every chord >= 10: by the cycle property the
+    * unique MST is exactly the path, so the oracle can state it in SQL. */
+  private def spanningTreeQuery(s: SparkSession, dir: String, localSolve: Long): DataFrame =
+    SpanningTree.run(pathChordGraph(s, dir), localSolveThreshold = localSolve)
+      .treeEdges.orderBy("src", "dst")
+
+  /** k=3: cut the 2 heaviest MST edges (ties by src — both engines use
+    * (weight DESC, src, dst)); clusters labeled by smallest member id. */
+  private def kspanningQuery(s: SparkSession, dir: String, localSolve: Long): DataFrame =
+    SpanningTree.kSpanningTree(pathChordGraph(s, dir), k = 3,
+      localSolveThreshold = localSolve).orderBy("id")
+
+  /** Validity projection (speaker draws use engine-specific xxhash64):
+    * every node holds >= 1 community, all labels are real node ids, and
+    * the seeded run is bit-stable across two executions. */
+  private def sllpaQuery(s: SparkSession, dir: String, tail: Long): DataFrame = {
+    val g = denseGraph(s, dir)
+    val run1 = Sllpa.run(g, maxIterations = 10, localTailThreshold = tail)
+    val n = g.vertices.count()
+    val covered = run1.communities.count()
+    val badLabels = run1.communities
+      .select(explode(col("communityIds")).as("id"))
+      .join(g.vertices.select("id"), Seq("id"), "left_anti").count()
+    val digest = (df: DataFrame) =>
+      df.select(col("id"), concat_ws(",", col("communityIds")).as("d"))
+    val rerunDiff = digest(run1.communities)
+      .join(digest(Sllpa.run(g, maxIterations = 10,
+        localTailThreshold = tail).communities),
+        Seq("id", "d"), "left_anti").count()
+    val spark = s; import spark.implicits._
+    Seq((covered == n, badLabels, rerunDiff))
+      .toDF("all_covered", "invalid_labels", "rerun_diff")
+  }
+
+  /** Validity projection (hash-seeded init): assignment covers every node
+    * within k classes, and the local-search cut keeps at least half the
+    * total edge weight (the classic greedy/local-opt guarantee). */
+  private def maxkcutQuery(s: SparkSession, dir: String, tail: Long): DataFrame = {
+    val g = pathChordGraph(s, dir)
+    val r = MaxKCut.run(g, k = 2, maxIterations = 12, localTailThreshold = tail)
+    val n = g.vertices.count()
+    val assigned = r.assignments.count()
+    val within = r.assignments.filter(col("community") < 0 || col("community") >= 2).count()
+    val spark = s; import spark.implicits._
+    Seq((assigned == n, within, r.cutWeight >= r.totalWeight / 2.0))
+      .toDF("all_assigned", "out_of_range", "cut_ge_half")
+  }
+
+  /** Validity projection: number of monochromatic edges must be 0.
+    * Runs on the power-law synthetic web graph (hubs included — they
+    * exercise the capped neighbor-color gather): the near-complete
+    * 300-node dense graph is a coloring pathology (chromatic number ~n
+    * forces ~n sequential conflict rounds in ANY parallel greedy
+    * scheme, the reference's included) and says nothing about scale. */
+  private def k1coloringQuery(s: SparkSession, dir: String, tail: Long): DataFrame = {
+    val edges = graft.io.Pages.synthEdges(s, 20000L, density = 2.0)
+    val g = graft.core.PropertyGraph(GraphOps.verticesOf(edges), edges)
+    val colors = K1Coloring.run(g, K1ColoringConfig(localTailThreshold = tail))
+    val und = graft.core.GraphOps.canonicalUndirected(g.edges)
+    val conflicts = und
+      .join(colors.select(col("id").as("lo"), col("color").as("c1")), "lo")
+      .join(colors.select(col("id").as("hi"), col("color").as("c2")), "hi")
+      .filter(col("c1") === col("c2")).count()
+    val spark = s; import spark.implicits._
+    Seq(conflicts).toDF("monochromatic_edges")
+  }
+
   private def betweennessQuery(s: SparkSession, dir: String, tail: Long): DataFrame =
     MsBfs.betweenness(denseGraph(s, dir), orientation = Orientation.Undirected,
         localTailThreshold = tail)
@@ -469,25 +565,8 @@ object SparkEntry {
     }),
     "q_bfs" -> ((s, dir) =>
       Paths.bfs(denseGraph(s, dir), source = 0L).orderBy("id")),
-    "q_all_pairs" -> ((s, dir) => {
-      // all-pairs distance stream over a bounded source set (30 sources):
-      // the reference's gds.alpha.allShortestPaths.stream semantics
-      val g = denseGraph(s, dir)
-      MsBfs.allShortestPaths(g, sources = Some(g.vertices.filter(col("id") < 30).select("id")))
-        .orderBy("sourceNodeId", "targetNodeId")
-    }),
-    "q_weighted_all_pairs" -> ((s, dir) => {
-      // weighted all-pairs distance stream over a bounded source set: the
-      // weighted gds.alpha.allShortestPaths.stream semantics
-      val g = denseGraph(s, dir)
-      val weighted = g.copy(edges = g.edges
-        .withColumn("weight", (pmod(col("src") * 31 + col("dst"), lit(5)) + 1).cast("double")))
-      ShortestPaths.allShortestPathsWeighted(weighted,
-          sources = Some(g.vertices.filter(col("id") < 20).select("id")))
-        .select(col("sourceNodeId"), col("targetNodeId"),
-          graft.core.Num.roundTo(col("distance"), 6).as("distance"))
-        .orderBy("sourceNodeId", "targetNodeId")
-    }),
+    "q_all_pairs" -> ((s, dir) => allPairsQuery(s, dir, tail = 500000L)),
+    "q_weighted_all_pairs" -> ((s, dir) => weightedAllPairsQuery(s, dir, tail = 500000L)),
     "q_sssp" -> ((s, dir) => {
       val g = denseGraph(s, dir)
       val weighted = g.copy(edges = g.edges
@@ -530,24 +609,7 @@ object SparkEntry {
       Hits.run(denseGraph(s, dir), HitsConfig(maxIterations = 3))
         .select(col("id"), graft.core.Num.roundTo(col("hub"), 6).as("hub"),
           graft.core.Num.roundTo(col("auth"), 6).as("auth")).orderBy("id")),
-    "q_k1coloring_valid" -> ((s, _) => {
-      // validity projection: number of monochromatic edges must be 0.
-      // Runs on the power-law synthetic web graph (hubs included — they
-      // exercise the capped neighbor-color gather): the near-complete
-      // 300-node dense graph is a coloring pathology (chromatic number ~n
-      // forces ~n sequential conflict rounds in ANY parallel greedy
-      // scheme, the reference's included) and says nothing about scale.
-      val edges = graft.io.Pages.synthEdges(s, 20000L, density = 2.0)
-      val g = graft.core.PropertyGraph(GraphOps.verticesOf(edges), edges)
-      val colors = K1Coloring.run(g)
-      val und = graft.core.GraphOps.canonicalUndirected(g.edges)
-      val conflicts = und
-        .join(colors.select(col("id").as("lo"), col("color").as("c1")), "lo")
-        .join(colors.select(col("id").as("hi"), col("color").as("c2")), "hi")
-        .filter(col("c1") === col("c2")).count()
-      val spark = s; import spark.implicits._
-      Seq(conflicts).toDF("monochromatic_edges")
-    }),
+    "q_k1coloring_valid" -> ((s, dir) => k1coloringQuery(s, dir, tail = 500000L)),
     "q_random_walks" -> ((s, dir) => {
       // validity projection (walk steps use engine-specific hashing, so the
       // walks themselves aren't SQL-replayable): every consecutive
@@ -602,10 +664,7 @@ object SparkEntry {
     "q_dijkstra" -> ((s, dir) => dijkstraQuery(s, dir, tail = 500000L)),
     "q_betweenness" -> ((s, dir) => betweennessQuery(s, dir, tail = 500000L)),
     "q_closeness" -> ((s, dir) => closenessQuery(s, dir, tail = 500000L)),
-    "q_harmonic" -> ((s, dir) =>
-      MsBfs.harmonic(denseGraph(s, dir))
-        .select(col("id"), graft.core.Num.roundTo(col("centrality"), 6).as("centrality"))
-        .orderBy("id")),
+    "q_harmonic" -> ((s, dir) => harmonicQuery(s, dir, tail = 500000L)),
     "q_scc" -> ((s, dir) => sccQuery(s, dir, localSolve = 50000L)),
     "q_dfs" -> ((s, dir) => {
       // validity projection: DFS visits exactly the reachable set, starting
@@ -1389,40 +1448,11 @@ object SparkEntry {
     }),
 
     // --- spanning trees (exact oracle: path-with-heavy-chords graph) ---
-    "q_spanning_tree" -> ((s, dir) => {
-      // path edges weigh 1..7, every chord >= 10: by the cycle property the
-      // unique MST is exactly the path, so the oracle can state it in SQL.
-      val g = pathChordGraph(s, dir)
-      SpanningTree.run(g).treeEdges.orderBy("src", "dst")
-    }),
-    "q_kspanning" -> ((s, dir) => {
-      // k=3: cut the 2 heaviest MST edges (ties by src — both engines use
-      // (weight DESC, src, dst)); clusters labeled by smallest member id.
-      val g = pathChordGraph(s, dir)
-      SpanningTree.kSpanningTree(g, k = 3).orderBy("id")
-    }),
+    "q_spanning_tree" -> ((s, dir) => spanningTreeQuery(s, dir, localSolve = 100000L)),
+    "q_kspanning" -> ((s, dir) => kspanningQuery(s, dir, localSolve = 100000L)),
 
     // --- overlapping communities (SLLPA) ---
-    "q_sllpa" -> ((s, dir) => {
-      // validity projection (speaker draws use engine-specific xxhash64):
-      // every node holds >= 1 community, all labels are real node ids, and
-      // the seeded run is bit-stable across two executions.
-      val g = denseGraph(s, dir)
-      val run1 = Sllpa.run(g, maxIterations = 10)
-      val n = g.vertices.count()
-      val covered = run1.communities.count()
-      val badLabels = run1.communities
-        .select(explode(col("communityIds")).as("id"))
-        .join(g.vertices.select("id"), Seq("id"), "left_anti").count()
-      val digest = (df: DataFrame) =>
-        df.select(col("id"), concat_ws(",", col("communityIds")).as("d"))
-      val rerunDiff = digest(run1.communities)
-        .join(digest(Sllpa.run(g, maxIterations = 10).communities),
-          Seq("id", "d"), "left_anti").count()
-      val spark = s; import spark.implicits._
-      Seq((covered == n, badLabels, rerunDiff))
-        .toDF("all_covered", "invalid_labels", "rerun_diff")
-    }),
+    "q_sllpa" -> ((s, dir) => sllpaQuery(s, dir, tail = 500000L)),
 
     // --- influence maximization (exact oracle on a star at p = 1.0) ---
     "q_influence_max" -> ((s, dir) => {
@@ -1439,19 +1469,7 @@ object SparkEntry {
     }),
 
     // --- approximate max k-cut ---
-    "q_maxkcut" -> ((s, dir) => {
-      // validity projection (hash-seeded init): assignment covers every
-      // node within k classes, and the local-search cut keeps at least half
-      // the total edge weight (the classic greedy/local-opt guarantee).
-      val g = pathChordGraph(s, dir)
-      val r = MaxKCut.run(g, k = 2, maxIterations = 12)
-      val n = g.vertices.count()
-      val assigned = r.assignments.count()
-      val within = r.assignments.filter(col("community") < 0 || col("community") >= 2).count()
-      val spark = s; import spark.implicits._
-      Seq((assigned == n, within, r.cutWeight >= r.totalWeight / 2.0))
-        .toDF("all_assigned", "out_of_range", "cut_ge_half")
-    }),
+    "q_maxkcut" -> ((s, dir) => maxkcutQuery(s, dir, tail = 500000L)),
 
     // --- remaining procedure surface, driver-verified (round 2) ---
     "q_pagerank_personalized" -> ((s, dir) => {
@@ -1865,6 +1883,14 @@ object SparkEntry {
     "q_yens_dist" -> ((s, dir) => yensQuery(s, dir, localSolve = -1L)),
     "q_scc_dist" -> ((s, dir) => sccQuery(s, dir, localSolve = -1L)),
     "q_louvain_l1_dist" -> ((s, dir) => louvainL1Query(s, dir, tail = -1L)),
+    "q_harmonic_dist" -> ((s, dir) => harmonicQuery(s, dir, tail = -1L)),
+    "q_all_pairs_dist" -> ((s, dir) => allPairsQuery(s, dir, tail = -1L)),
+    "q_weighted_all_pairs_dist" -> ((s, dir) => weightedAllPairsQuery(s, dir, tail = -1L)),
+    "q_spanning_tree_dist" -> ((s, dir) => spanningTreeQuery(s, dir, localSolve = -1L)),
+    "q_kspanning_dist" -> ((s, dir) => kspanningQuery(s, dir, localSolve = -1L)),
+    "q_sllpa_dist" -> ((s, dir) => sllpaQuery(s, dir, tail = -1L)),
+    "q_maxkcut_dist" -> ((s, dir) => maxkcutQuery(s, dir, tail = -1L)),
+    "q_k1coloring_valid_dist" -> ((s, dir) => k1coloringQuery(s, dir, tail = -1L)),
     "q_louvain_dist" -> ((s, dir) => {
       // forced-distributed MULTI-level run (localTailThreshold = -1): the
       // coarsening loop that executes at 100-TB scale gets its own oracle
@@ -1955,7 +1981,9 @@ object SparkEntry {
   /** Queries whose `_dist` (forced-distributed) variant reuses the base
     * oracle verbatim — same input graph, same output contract. */
   private val DistVariantKeys = Seq("q_dijkstra", "q_astar", "q_yens",
-    "q_scc", "q_louvain_l1", "q_betweenness", "q_closeness", "q_knn", "q_wcc")
+    "q_scc", "q_louvain_l1", "q_betweenness", "q_closeness", "q_knn", "q_wcc",
+    "q_harmonic", "q_all_pairs", "q_weighted_all_pairs", "q_spanning_tree",
+    "q_kspanning", "q_sllpa", "q_maxkcut", "q_k1coloring_valid")
 
   def oracleSql: Map[String, String] =
     baseOracleSql ++ DistVariantKeys.map(k => s"${k}_dist" -> baseOracleSql(k))

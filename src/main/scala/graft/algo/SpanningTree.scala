@@ -154,11 +154,17 @@ object SpanningTree {
         var jumps = 0
         while (jumping && jumps < 64) {
           jumps += 1
-          val nxt = par.alias("p")
+          val nxt0 = par.alias("p")
             .join(par.alias("q"), col("p.par") === col("q.c"), "left")
             .select(col("p.c").as("c"),
                     coalesce(col("q.par"), col("p.par")).as("par"))
             .repartition(parts, col("c")).persist()
+          // plan-truncate EVERY jump: the self-join references `par` twice,
+          // so without the cut the logical plan DOUBLES per jump — a long
+          // selection chain (a path graph: ~log2(n/2) jumps) exponentiates
+          // driver-side analysis into a heap-space death (caught by the
+          // forced-distributed q_spanning_tree_dist oracle row)
+          val nxt = org.apache.spark.sql.GraftSqlCompat.truncatePlan(nxt0)
           val moved = nxt.alias("n")
             .join(par.alias("o"), col("n.c") === col("o.c"))
             .filter(col("n.par") =!= col("o.par")).count()
@@ -206,9 +212,10 @@ object SpanningTree {
     * tree edges, label the k resulting clusters by smallest member id. */
   def kSpanningTree(graph: PropertyGraph, k: Int,
                     startNode: Option[Long] = None,
-                    minimize: Boolean = true): DataFrame = {
+                    minimize: Boolean = true,
+                    localSolveThreshold: Long = 100000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val r = run(graph, startNode, minimize)
+    val r = run(graph, startNode, minimize, localSolveThreshold = localSolveThreshold)
     // cut the k-1 heaviest (min variant) tree edges: TakeOrdered limit —
     // distributed top-k, never a single-partition global sort/window
     val ord =
